@@ -1,0 +1,124 @@
+"""Fused dequant+matmul tests vs the dense-on-dequantized oracle.
+
+Tolerances track the reference's own GEMV checks: f32-accum rel 1e-5/abs 3e-4
+(``gemv_w4a16_c32.cu:421-422``) for the precise path; looser for the bf16 MXU
+path (weights rounded to bf16, ~2^-8 relative per element).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import xbitops_tpu as xb
+from xbitops_tpu import formats
+
+BITS = [1, 2, 3, 4, 5, 6, 7, 8]
+
+
+def _case(M, K, N, bits, g, seed=0):
+    rng = np.random.default_rng(seed)
+    w = rng.standard_normal((K, N), dtype=np.float32) * 0.1
+    a = rng.standard_normal((M, K), dtype=np.float32) * 0.5
+    qt = xb.quantize_array(jnp.asarray(w), bits, g)
+    wd = np.asarray(formats.dequant_qtensor_reference(qt, out_dtype=jnp.float32))
+    expect = a @ wd
+    return jnp.asarray(a), qt, expect
+
+
+@pytest.mark.parametrize("bits", BITS)
+def test_qmatmul_precise(bits):
+    a, qt, expect = _case(1, 256, 256, bits, 64, seed=bits)
+    got = np.asarray(xb.qmatmul(a, qt, out_dtype=jnp.float32, precise=True))
+    np.testing.assert_allclose(got, expect, rtol=1e-5, atol=3e-4)
+
+
+@pytest.mark.parametrize("M", [1, 3, 8, 17, 64])
+def test_qmatmul_m_shapes(M):
+    a, qt, expect = _case(M, 256, 128, 4, 128, seed=M)
+    got = np.asarray(xb.qmatmul(a, qt, out_dtype=jnp.float32, precise=True))
+    assert got.shape == expect.shape
+    np.testing.assert_allclose(got, expect, rtol=1e-5, atol=3e-4)
+
+
+def test_qmatmul_bf16_path():
+    a, qt, expect = _case(8, 512, 256, 4, 128, seed=42)
+    got = np.asarray(xb.qmatmul(a, qt, out_dtype=jnp.float32, precise=False))
+    # bf16 weight rounding: ~0.4% relative per element, averaged down by sqrt(K)
+    np.testing.assert_allclose(got, expect, rtol=2e-2, atol=2e-2)
+
+
+def test_qmatmul_leading_dims_fold():
+    # 3-D input folds to M like the reference (dq_torch_ops.cc:61-64).
+    a, qt, expect = _case(6, 256, 128, 4, 64)
+    a3 = a.reshape(2, 3, 256)
+    got = np.asarray(xb.qmatmul(a3, qt, out_dtype=jnp.float32, precise=True))
+    assert got.shape == (2, 3, 128)
+    np.testing.assert_allclose(got.reshape(6, 128), expect, rtol=1e-5, atol=3e-4)
+
+
+def test_qmatmul_padded_k():
+    # K=200 pads internally; zero-padded activations contribute nothing.
+    rng = np.random.default_rng(5)
+    K, N = 200, 128
+    w = rng.standard_normal((K, N), dtype=np.float32)
+    a = rng.standard_normal((2, K), dtype=np.float32)
+    qt = xb.quantize_array(jnp.asarray(w), 4, 50)  # odd group: lcm tile + padding
+    wd = np.asarray(formats.dequant_qtensor_reference(qt, out_dtype=jnp.float32))
+    got = np.asarray(xb.qmatmul(jnp.asarray(a), qt, out_dtype=jnp.float32, precise=True))
+    np.testing.assert_allclose(got, a @ wd, rtol=1e-5, atol=3e-4)
+
+
+def test_qmatmul_act_order():
+    # Act-order QTensor: activations gathered through perm, same result.
+    K, N, g, bits = 128, 128, 32, 4
+    rng = np.random.default_rng(11)
+    w = rng.standard_normal((K, N), dtype=np.float32)
+    perm = rng.permutation(K)
+    wq_s, scales, zeros = formats.quantize(w[perm], bits, g)
+    g_idx = np.empty(K, np.int32)
+    g_idx[perm] = np.arange(K) // g
+    wq = np.empty_like(wq_s)
+    wq[perm] = wq_s
+    qweight, _, qzeros = formats.gptq_pack(wq, scales, zeros, bits)
+    qt = formats.from_gptq(
+        jnp.asarray(qweight), jnp.asarray(scales), jnp.asarray(qzeros),
+        bits, g, K, g_idx=jnp.asarray(g_idx),
+    )
+    wd = np.asarray(formats.dequant_qtensor_reference(qt, out_dtype=jnp.float32))
+    a = rng.standard_normal((4, K), dtype=np.float32)
+    got = np.asarray(xb.qmatmul(jnp.asarray(a), qt, out_dtype=jnp.float32, precise=True))
+    np.testing.assert_allclose(got, a @ wd, rtol=1e-5, atol=3e-4)
+
+
+def test_gemv_reference_api():
+    # Drop-in gemv: GPTQ arrays straight in (fp16 activations like the reference).
+    M, K, N, g, bits = 1, 256, 128, 64, 4
+    rng = np.random.default_rng(21)
+    w = rng.standard_normal((K, N), dtype=np.float32) * 0.1
+    a = (rng.standard_normal((M, K), dtype=np.float32) * 0.5).astype(np.float16)
+    wq, scales, zeros = formats.quantize(w, bits, g)
+    scales16 = scales.astype(np.float16)
+    qweight, _, qzeros = formats.gptq_pack(wq, scales, zeros, bits)
+    got = np.asarray(
+        xb.gemv(
+            jnp.asarray(a), jnp.asarray(qweight), jnp.asarray(scales16),
+            jnp.asarray(qzeros), g, bits, K, out_dtype=jnp.float32,
+        )
+    ).astype(np.float32)
+    ref_w = np.asarray(
+        formats.dequant_reference(
+            jnp.asarray(qweight), jnp.asarray(scales16), jnp.asarray(qzeros),
+            g, bits, K, out_dtype=jnp.float32,
+        )
+    )
+    expect = a.astype(np.float32) @ ref_w
+    # reference fused-GEMV tolerance: rel 1.001 + abs 4e-4 (gemv_w4a16.cu:406-407);
+    # our default path rounds weights to bf16, so allow the bf16 envelope
+    np.testing.assert_allclose(got, expect, rtol=1e-2, atol=1e-2)
+
+
+def test_oracle_path_matches_kernel():
+    a, qt, expect = _case(2, 256, 128, 4, 64, seed=3)
+    no_kernel = np.asarray(xb.qmatmul(a, qt, out_dtype=jnp.float32, use_kernel=False))
+    kernel = np.asarray(xb.qmatmul(a, qt, out_dtype=jnp.float32, precise=True))
+    np.testing.assert_allclose(no_kernel, kernel, rtol=1e-5, atol=3e-4)

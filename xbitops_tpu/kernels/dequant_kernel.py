@@ -1,0 +1,90 @@
+"""Pallas TPU kernel: dequantize packed planes to a dense fp16/bf16/f32 matrix.
+
+TPU-native re-design of the reference's ``DequantizeAndUnpackWeight248`` /
+``DequantizeAndUnpackWeight3567_v2`` CUDA kernels
+(``unpack_weight_2_to_7.cu:45-120,220-330``): instead of per-thread word reads and
+shared-memory staging for word-crossing bit-widths, the weight arrives as
+power-of-two bit-planes (see ``formats.PLANE_DECOMP``) already in a sublane-strided
+layout, so each grid step is a handful of vectorized shift/mask ops, one FMA
+against broadcast group scales, and a contiguous store.
+
+The kernel is HBM-bandwidth-bound by design: per (tile_k, tile_n) output tile it
+reads exactly ``tile_k * tile_n * bits / 8`` packed bytes (+ a sliver of scales) and
+writes ``tile_k * tile_n * itemsize`` bytes.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from xbitops_tpu.formats import PLANE_DECOMP, QTensor
+from xbitops_tpu.kernels import common
+
+
+def _kernel(plane_bits, tile_k, gt, *refs):
+    n_planes = len(plane_bits)
+    plane_refs = refs[:n_planes]
+    s_ref, sz_ref, out_ref = refs[n_planes:]
+    w = common.dequant_tile(
+        [r[...] for r in plane_refs], plane_bits, s_ref[0], sz_ref[0], tile_k, gt
+    )
+    out_ref[...] = w.astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("out_dtype", "tile_n", "interpret")
+)
+def dequant_kernel(
+    qt: QTensor,
+    out_dtype=jnp.bfloat16,
+    tile_n: Optional[int] = None,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """Dequantize a QTensor to ``(K, N)`` in ``out_dtype`` (padded/stored row order;
+    the public op handles act-order un-permutation and K-padding removal)."""
+    if interpret is None:
+        interpret = common.interpret_default()
+    K, N = qt.K, qt.planes[0].shape[-1]
+    tk, g = qt.tile_k, qt.group_size
+    plane_bits = PLANE_DECOMP[qt.bits]
+    tn = tile_n or common.pick_tile_n(N)
+    assert N % tn == 0, f"N={N} must be a multiple of tile_n={tn}"
+
+    grid = (K // tk, N // tn)
+    in_specs = [
+        pl.BlockSpec((tk // (32 // pb), tn), lambda i, j: (i, j), memory_space=pltpu.VMEM)
+        for pb in plane_bits
+    ]
+    gt = qt.groups_per_tile
+    gt_pad = qt.scales.shape[1]
+    s_spec = pl.BlockSpec(
+        (1, gt_pad, tn), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM
+    )
+    in_specs += [s_spec, s_spec]
+
+    packed_bytes = sum(p.size * 4 for p in qt.planes)
+    out = pl.pallas_call(
+        functools.partial(_kernel, plane_bits, tk, gt),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((tk, tn), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((K, N), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * K * N,
+            bytes_accessed=packed_bytes
+            + qt.scales.size * qt.scales.dtype.itemsize * 2
+            + K * N * jnp.dtype(out_dtype).itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(*qt.planes, qt.scales, qt.scale_zeros)
+    return out
