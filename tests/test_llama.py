@@ -1,0 +1,97 @@
+"""Model tests: decode/prefill consistency, quantized-vs-dense closeness, and
+tensor-parallel equivalence on the 8-virtual-device mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from xbitops_tpu.models import llama
+from xbitops_tpu.parallel import mesh as meshlib
+from xbitops_tpu.parallel import model_tp
+
+CFG = llama.LlamaConfig.tiny()
+
+
+@pytest.fixture(scope="module")
+def dense_params():
+    return llama.init_params(jax.random.PRNGKey(0), CFG, bits=None)
+
+
+@pytest.fixture(scope="module")
+def q8_params():
+    return llama.init_params(jax.random.PRNGKey(0), CFG, bits=8, group_size=32)
+
+
+def test_prefill_decode_consistency(dense_params):
+    """Greedy teacher forcing: prefill T tokens then decoding token T+1 must match
+    a longer prefill's last-position logits (KV cache correctness)."""
+    B, T = 2, 8
+    key = jax.random.PRNGKey(1)
+    tokens = jax.random.randint(key, (B, T + 1), 0, CFG.vocab_size)
+    cache0 = llama.KVCache.init(CFG, B)
+    full_logits, _ = llama.prefill(dense_params, CFG, tokens, cache0)
+
+    cache1 = llama.KVCache.init(CFG, B)
+    _, cache1 = llama.prefill(dense_params, CFG, tokens[:, :T], cache1)
+    step_logits, cache1 = llama.decode_step(dense_params, CFG, tokens[:, T], cache1)
+    np.testing.assert_allclose(
+        np.asarray(step_logits), np.asarray(full_logits[:, -1]), rtol=2e-2, atol=2e-2
+    )
+    assert int(cache1.lengths[0]) == T + 1
+
+
+def test_quantized_close_to_dense(dense_params, q8_params):
+    B, T = 1, 6
+    tokens = jax.random.randint(jax.random.PRNGKey(2), (B, T), 0, CFG.vocab_size)
+    cache_d = llama.KVCache.init(CFG, B)
+    cache_q = llama.KVCache.init(CFG, B)
+    ld, _ = llama.prefill(dense_params, CFG, tokens, cache_d)
+    lq, _ = llama.prefill(q8_params, CFG, tokens, cache_q)
+    ld, lq = np.asarray(ld, np.float32), np.asarray(lq, np.float32)
+    # 8-bit weights: argmax should agree at nearly every position
+    agree = (ld.argmax(-1) == lq.argmax(-1)).mean()
+    assert agree >= 0.8, agree
+    rel = np.abs(ld - lq).max() / (np.abs(ld).max() + 1e-9)
+    assert rel < 0.25, rel
+
+
+@pytest.mark.parametrize("bits", [4])
+def test_quantized_decode_runs(bits):
+    params = llama.init_params(jax.random.PRNGKey(3), CFG, bits=bits, group_size=32)
+    B = 2
+    cache = llama.KVCache.init(CFG, B)
+    tokens = jnp.zeros((B,), jnp.int32)
+    logits, cache = llama.decode_step(params, CFG, tokens, cache)
+    assert logits.shape == (B, CFG.vocab_size)
+    assert not bool(jnp.any(jnp.isnan(logits.astype(jnp.float32))))
+    logits2, cache = llama.decode_step(params, CFG, jnp.argmax(logits, -1).astype(jnp.int32), cache)
+    assert int(cache.lengths[0]) == 2
+
+
+def test_tp_matches_single_chip(q8_params):
+    mesh = meshlib.make_mesh((1, 2), ("data", "model"))
+    B, T = 2, 5
+    tokens = jax.random.randint(jax.random.PRNGKey(4), (B, T), 0, CFG.vocab_size)
+    cache = llama.KVCache.init(CFG, B)
+    ref_logits, ref_cache = llama.prefill(q8_params, CFG, tokens, cache)
+
+    # same seed, row-parallel weights packed shard-stacked (numerically identical:
+    # shard-local regrouping duplicates scales exactly)
+    tp_params = llama.init_params(jax.random.PRNGKey(0), CFG, bits=8, group_size=32, tp=2)
+    params_s = model_tp.shard_params(tp_params, mesh)
+    cache_s = model_tp.shard_cache(llama.KVCache.init(CFG, B), mesh)
+    tp_logits, tp_cache = model_tp.tp_prefill(params_s, CFG, mesh, tokens, cache_s)
+    np.testing.assert_allclose(
+        np.asarray(tp_logits, np.float32), np.asarray(ref_logits, np.float32),
+        rtol=5e-2, atol=5e-2,
+    )
+    # decode one more step under TP
+    nxt = jnp.argmax(tp_logits[:, -1], -1).astype(jnp.int32)
+    step_logits, tp_cache = model_tp.tp_decode_step(params_s, CFG, mesh, nxt, tp_cache)
+    assert step_logits.shape == (B, CFG.vocab_size)
+    ref_step, _ = llama.decode_step(q8_params, CFG, nxt, ref_cache)
+    np.testing.assert_allclose(
+        np.asarray(step_logits, np.float32), np.asarray(ref_step, np.float32),
+        rtol=5e-2, atol=5e-2,
+    )

@@ -504,6 +504,76 @@ def from_gptq(
     )
 
 
+def make_row_sharded_qtensor(
+    wq: jax.Array,
+    scales: jax.Array,
+    zeros: jax.Array,
+    bits: int,
+    group_size: int,
+    row_shards: int,
+    add_zero_bias: int = 0,
+    tile_k: Optional[int] = None,
+    scale_store_dtype=jnp.float32,
+) -> QTensor:
+    """Pack ``wq[K, N]`` for **row-parallel** execution over ``row_shards`` devices.
+
+    Real checkpoint shapes rarely let shard boundaries land on group boundaries
+    (Llama-7B down-proj: K=11008, g=128, tp=8 → 1376 rows/shard = 10.75 groups), so
+    each shard is repacked independently with a local group size
+    ``g' = gcd(g, K/row_shards)`` and the global scales *duplicated exactly* onto
+    the finer grid — numerics are unchanged, only scale storage grows.  Shards are
+    padded to a common tile multiple individually.
+
+    The result is one QTensor whose leaves carry a leading shard axis
+    ``[row_shards, ...]`` (shard it with ``P(axis, ...)``); the static metadata
+    describes ONE shard, so inside ``shard_map`` dropping the leading axis yields
+    a self-consistent local QTensor (see ``parallel.tp.squeeze_row_shard``).
+    """
+    import math
+
+    K, N = wq.shape
+    if K % row_shards:
+        raise ValueError(f"K={K} must divide into {row_shards} row shards")
+    Ks = K // row_shards
+    g_local = math.gcd(group_size, Ks)
+    if g_local < 16:
+        raise ValueError(
+            f"shard-local group size gcd({group_size}, {Ks}) = {g_local} < 16"
+        )
+    tile = tile_k or default_tile_k(Ks, g_local, bits)
+    shards = []
+    row0 = np.arange(0, Ks, g_local)
+    for i in range(row_shards):
+        gidx = jnp.asarray((i * Ks + row0) // group_size, jnp.int32)
+        shards.append(
+            make_qtensor(
+                wq[i * Ks : (i + 1) * Ks],
+                jnp.take(scales, gidx, axis=0),
+                jnp.take(zeros, gidx, axis=0),
+                bits, g_local, add_zero_bias, tile_k=tile,
+                scale_store_dtype=scale_store_dtype,
+            )
+        )
+    first = shards[0]
+    return QTensor(
+        planes=tuple(
+            jnp.stack([s.planes[j] for s in shards]) for j in range(len(first.planes))
+        ),
+        scales=jnp.stack([s.scales for s in shards]),
+        scale_zeros=jnp.stack([s.scale_zeros for s in shards]),
+        bits=bits,
+        group_size=g_local,
+        tile_k=first.tile_k,
+        K=first.K,
+        K_logical=first.K_logical,
+        perm=None,
+    )
+
+
+def is_row_sharded(qt: QTensor) -> bool:
+    return qt.planes[0].ndim == 3
+
+
 def _expand_tiled_scales(ts: jax.Array, qt: QTensor) -> jax.Array:
     """Tiled scales ``[T, gt_pad, N]`` → per-row ``[K, N]`` (oracle use only)."""
     gt = qt.groups_per_tile

@@ -1,0 +1,313 @@
+"""Quantized Llama-family decoder, functional JAX.
+
+The reference ships no model code — its README positions the ops for GPTQ LLM
+inference and leaves the model to the caller (SURVEY §1 "what sits above L4").
+Here the model is part of the framework: every projection is a packed
+:class:`~xbitops_tpu.formats.QTensor` consumed by the fused Pallas matmul, the KV
+cache is a static-shape ring the decode step updates in place, and the same
+forward code runs single-chip or tensor-parallel (the :class:`Runtime` strategy
+supplies plain or collective-reducing linears).
+
+Supports Llama-2 (7B/13B) and any config-compatible variant (GQA included).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from xbitops_tpu.formats import QTensor
+from xbitops_tpu.ops.qmatmul import qmatmul
+from xbitops_tpu.ops.quantize import quantize_array
+
+
+@dataclasses.dataclass(frozen=True)
+class LlamaConfig:
+    vocab_size: int = 32000
+    hidden_size: int = 4096
+    intermediate_size: int = 11008
+    num_layers: int = 32
+    num_heads: int = 32
+    num_kv_heads: int = 32
+    head_dim: int = 128
+    rope_theta: float = 10000.0
+    rms_eps: float = 1e-5
+    max_seq_len: int = 2048
+
+    @staticmethod
+    def llama2_7b() -> "LlamaConfig":
+        return LlamaConfig()
+
+    @staticmethod
+    def llama2_13b() -> "LlamaConfig":
+        return LlamaConfig(
+            hidden_size=5120, intermediate_size=13824, num_layers=40,
+            num_heads=40, num_kv_heads=40,
+        )
+
+    @staticmethod
+    def tiny(vocab: int = 256, seq: int = 64) -> "LlamaConfig":
+        """Test-size config (shapes still tile-legal: hidden 256, ffn 512)."""
+        return LlamaConfig(
+            vocab_size=vocab, hidden_size=256, intermediate_size=512,
+            num_layers=2, num_heads=4, num_kv_heads=2, head_dim=128,
+            max_seq_len=seq,
+        )
+
+    def local(self, tp: int) -> "LlamaConfig":
+        """Per-shard view under tensor parallelism (heads and ffn split)."""
+        assert self.num_heads % tp == 0 and self.num_kv_heads % tp == 0
+        assert self.intermediate_size % tp == 0
+        return dataclasses.replace(
+            self,
+            num_heads=self.num_heads // tp,
+            num_kv_heads=self.num_kv_heads // tp,
+            intermediate_size=self.intermediate_size // tp,
+        )
+
+
+# --- parameter pytrees (plain dicts for orbax-friendliness) ---
+
+
+def init_params(
+    key: jax.Array,
+    cfg: LlamaConfig,
+    bits: Optional[int] = 4,
+    group_size: int = 128,
+    dtype=jnp.bfloat16,
+    tp: int = 1,
+) -> dict:
+    """Random-init a model; projections packed to ``bits`` (None = dense bf16).
+
+    ``tp > 1`` packs the row-parallel weights (wo, w_down) shard-stacked for a
+    ``tp``-way mesh (see ``formats.make_row_sharded_qtensor``)."""
+
+    def dense(key, shape, scale):
+        return (jax.random.normal(key, shape, jnp.float32) * scale).astype(jnp.float32)
+
+    def q(key, kdim, ndim, scale, row_parallel=False):
+        w = dense(key, (kdim, ndim), scale)
+        if bits is None:
+            return w.astype(dtype)
+        return quantize_array(
+            w, bits, group_size, row_shards=tp if (row_parallel and tp > 1) else 1
+        )
+
+    h, ffn = cfg.hidden_size, cfg.intermediate_size
+    qdim = cfg.num_heads * cfg.head_dim
+    kvdim = cfg.num_kv_heads * cfg.head_dim
+    s = h ** -0.5
+    keys = jax.random.split(key, cfg.num_layers * 7 + 3)
+    layers = []
+    for i in range(cfg.num_layers):
+        k = keys[i * 7 : (i + 1) * 7]
+        layers.append(
+            dict(
+                wq=q(k[0], h, qdim, s),
+                wk=q(k[1], h, kvdim, s),
+                wv=q(k[2], h, kvdim, s),
+                wo=q(k[3], qdim, h, s, row_parallel=True),
+                w_gate=q(k[4], h, ffn, s),
+                w_up=q(k[5], h, ffn, s),
+                w_down=q(k[6], ffn, h, ffn ** -0.5, row_parallel=True),
+                ln_attn=jnp.ones((h,), jnp.float32),
+                ln_mlp=jnp.ones((h,), jnp.float32),
+            )
+        )
+    return dict(
+        embed=(jax.random.normal(keys[-3], (cfg.vocab_size, h), jnp.float32) * 0.02).astype(dtype),
+        lm_head=q(keys[-2], h, cfg.vocab_size, s),
+        ln_final=jnp.ones((h,), jnp.float32),
+        layers=layers,
+    )
+
+
+# --- KV cache ---
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class KVCache:
+    """Static-shape cache ``[L, B, S_max, n_kv, head_dim]`` with per-slot lengths."""
+
+    k: jax.Array
+    v: jax.Array
+    lengths: jax.Array  # int32 [B]
+
+    def tree_flatten(self):
+        return (self.k, self.v, self.lengths), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @staticmethod
+    def init(cfg: LlamaConfig, batch: int, dtype=jnp.bfloat16) -> "KVCache":
+        shape = (cfg.num_layers, batch, cfg.max_seq_len, cfg.num_kv_heads, cfg.head_dim)
+        return KVCache(
+            k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype),
+            lengths=jnp.zeros((batch,), jnp.int32),
+        )
+
+
+# --- runtimes: where collectives happen ---
+
+
+class Runtime:
+    """Single-chip execution: linears are plain fused qmatmuls."""
+
+    def col(self, x, w, **kw):
+        return _linear(x, w, **kw)
+
+    def row(self, x, w, **kw):
+        return _linear(x, w, **kw)
+
+    def logits_gather(self, x):
+        return x
+
+
+class TPRuntime(Runtime):
+    """Inside-shard_map execution: column outputs stay sharded, row outputs psum."""
+
+    def __init__(self, axis: str):
+        self.axis = axis
+
+    def row(self, x, w, **kw):
+        from xbitops_tpu.formats import is_row_sharded
+        from xbitops_tpu.parallel.tp import squeeze_row_shard
+
+        if isinstance(w, QTensor) and is_row_sharded(w):
+            w = squeeze_row_shard(w)
+        return jax.lax.psum(_linear(x, w, **kw), self.axis)
+
+    def logits_gather(self, x):
+        return jax.lax.all_gather(x, self.axis, axis=x.ndim - 1, tiled=True)
+
+
+def _linear(x: jax.Array, w: Any, **kw) -> jax.Array:
+    if isinstance(w, QTensor):
+        return qmatmul(x, w, out_dtype=x.dtype, **kw)
+    return jnp.dot(x, w.astype(x.dtype), preferred_element_type=jnp.float32).astype(x.dtype)
+
+
+# --- building blocks ---
+
+
+def rms_norm(x: jax.Array, w: jax.Array, eps: float) -> jax.Array:
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    return (xf * jax.lax.rsqrt(var + eps) * w).astype(x.dtype)
+
+
+def _rope(x: jax.Array, positions: jax.Array, theta: float) -> jax.Array:
+    """Rotate-half RoPE (HF Llama convention). x: [..., T, heads, head_dim]."""
+    hd = x.shape[-1]
+    freqs = theta ** (-jnp.arange(0, hd // 2, dtype=jnp.float32) / (hd // 2))
+    ang = positions.astype(jnp.float32)[..., :, None] * freqs[None, :]  # [..., T, hd/2]
+    cos = jnp.cos(ang)[..., None, :]  # [..., T, 1, hd/2]
+    sin = jnp.sin(ang)[..., None, :]
+    x1, x2 = x[..., : hd // 2], x[..., hd // 2 :]
+    xf1, xf2 = x1.astype(jnp.float32), x2.astype(jnp.float32)
+    return jnp.concatenate(
+        [xf1 * cos - xf2 * sin, xf2 * cos + xf1 * sin], axis=-1
+    ).astype(x.dtype)
+
+
+def _attention(q, k, v, mask, scale):
+    """q: [B, Tq, H, D]; k/v: [B, Tk, Hkv, D]; mask: [B, Tq, Tk] bool."""
+    B, Tq, H, D = q.shape
+    Hkv = k.shape[2]
+    rep = H // Hkv
+    if rep > 1:
+        k = jnp.repeat(k, rep, axis=2)
+        v = jnp.repeat(v, rep, axis=2)
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q.astype(jnp.float32), k.astype(jnp.float32))
+    logits = logits * scale + jnp.where(mask[:, None], 0.0, -1e30)
+    p = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhqk,bkhd->bqhd", p, v.astype(jnp.float32))
+    return out.astype(q.dtype)
+
+
+def _block(layer, cfg: LlamaConfig, rt: Runtime, x, positions, k_cache, v_cache, mask):
+    """One transformer block on [B, T, h_local-agnostic]; returns new (k, v) slice."""
+    B, T, _ = x.shape
+    H, Hkv, D = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+
+    hx = rms_norm(x, layer["ln_attn"], cfg.rms_eps)
+    q = rt.col(hx, layer["wq"]).reshape(B, T, H, D)
+    k = rt.col(hx, layer["wk"]).reshape(B, T, Hkv, D)
+    v = rt.col(hx, layer["wv"]).reshape(B, T, Hkv, D)
+    q = _rope(q, positions, cfg.rope_theta)
+    k = _rope(k, positions, cfg.rope_theta)
+
+    # scatter new k/v into the cache at each slot's position
+    onehot = jax.nn.one_hot(positions, k_cache.shape[1], dtype=k.dtype)  # [B,T,S]
+    k_cache = k_cache + jnp.einsum("bts,bthd->bshd", onehot, k)
+    v_cache = v_cache + jnp.einsum("bts,bthd->bshd", onehot, v)
+
+    att = _attention(q, k_cache, v_cache, mask, D ** -0.5)
+    x = x + rt.row(att.reshape(B, T, H * D), layer["wo"])
+
+    hx = rms_norm(x, layer["ln_mlp"], cfg.rms_eps)
+    gate = rt.col(hx, layer["w_gate"])
+    up = rt.col(hx, layer["w_up"])
+    act = (jax.nn.silu(gate.astype(jnp.float32)) * up.astype(jnp.float32)).astype(x.dtype)
+    x = x + rt.row(act, layer["w_down"])
+    return x, k_cache, v_cache
+
+
+def forward(
+    params: dict,
+    cfg: LlamaConfig,
+    tokens: jax.Array,  # int32 [B, T]
+    cache: KVCache,
+    positions: jax.Array,  # int32 [B, T] absolute positions of `tokens`
+    rt: Optional[Runtime] = None,
+) -> Tuple[jax.Array, KVCache]:
+    """Run T tokens per slot through the model (T=1 -> decode; T>1 -> prefill).
+
+    Assumes cache slots were written for positions < lengths; attends to cached
+    positions plus causally to the new tokens.
+    """
+    rt = rt or Runtime()
+    B, T = tokens.shape
+    x = params["embed"][tokens].astype(jnp.bfloat16)
+
+    S = cache.k.shape[2]
+    # mask[b, q, s]: cache position s visible to query q (s <= positions[b, q])
+    s_idx = jnp.arange(S)[None, None, :]
+    mask = s_idx <= positions[:, :, None]
+
+    new_k, new_v = [], []
+    for li, layer in enumerate(params["layers"]):
+        x, kc, vc = _block(
+            layer, cfg, rt, x, positions, cache.k[li], cache.v[li], mask
+        )
+        new_k.append(kc)
+        new_v.append(vc)
+
+    x = rms_norm(x, params["ln_final"], cfg.rms_eps)
+    logits = _linear(x, params["lm_head"])
+    logits = rt.logits_gather(logits)
+    new_cache = KVCache(
+        k=jnp.stack(new_k), v=jnp.stack(new_v),
+        lengths=jnp.maximum(cache.lengths, positions[:, -1] + 1),
+    )
+    return logits, new_cache
+
+
+def decode_step(params, cfg, tokens, cache, rt=None):
+    """One greedy decode step: tokens int32 [B] at positions cache.lengths."""
+    positions = cache.lengths[:, None]
+    logits, cache = forward(params, cfg, tokens[:, None], cache, positions, rt)
+    return logits[:, -1, :], cache
+
+
+def prefill(params, cfg, tokens, cache, rt=None):
+    """Prefill a [B, T] prompt (all slots same length; use engine/ for ragged)."""
+    B, T = tokens.shape
+    positions = jnp.broadcast_to(jnp.arange(T)[None], (B, T))
+    return forward(params, cfg, tokens, cache, positions, rt)

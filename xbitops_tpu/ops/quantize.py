@@ -26,10 +26,13 @@ def quantize_array(
     tile_k: Optional[int] = None,
     scale_store_dtype=jnp.float32,
     scale_round_dtype=None,
+    row_shards: int = 1,
 ) -> QTensor:
     """Quantize ``w[K, N]`` to ``bits`` with per-group scale/zero, returning the
     packed TPU layout.  ``scale_round_dtype`` (e.g. fp16) optionally rounds scales
-    through a checkpoint dtype first, for parity with fp16 GPTQ checkpoints."""
+    through a checkpoint dtype first, for parity with fp16 GPTQ checkpoints.
+    ``row_shards > 1`` packs for row-parallel TP (stacked shard leaves — see
+    ``formats.make_row_sharded_qtensor``)."""
     K, N = w.shape
     Kp = common.round_up(K, group_size)
     wf = jnp.pad(w.astype(jnp.float32), ((0, Kp - K), (0, 0)))
@@ -49,8 +52,14 @@ def quantize_array(
         scale = scale.astype(scale_round_dtype).astype(jnp.float32)
     q = jnp.clip(jnp.round(wg / scale[:, None, :] + zero[:, None, :]), 0, maxq)
     wq = q.reshape(Kp, N).astype(jnp.int32)[:K]
+    scale = scale.astype(scale_round_dtype or jnp.float32)
+    zero = zero.astype(jnp.int32)
+    if row_shards > 1:
+        return formats.make_row_sharded_qtensor(
+            wq, scale, zero, bits, group_size, row_shards,
+            tile_k=tile_k, scale_store_dtype=scale_store_dtype,
+        )
     return formats.make_qtensor(
-        wq, scale.astype(scale_round_dtype or jnp.float32), zero.astype(jnp.int32),
-        bits, group_size, add_zero_bias=0, tile_k=tile_k,
+        wq, scale, zero, bits, group_size, add_zero_bias=0, tile_k=tile_k,
         scale_store_dtype=scale_store_dtype,
     )

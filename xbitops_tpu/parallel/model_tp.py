@@ -1,0 +1,118 @@
+"""Tensor-parallel execution of the quantized Llama model over a mesh.
+
+Megatron-style layout, one psum per matmul pair:
+  - wq/wk/wv, w_gate/w_up, lm_head: column-parallel (heads / ffn / vocab sharded)
+  - wo, w_down: row-parallel (psum inside the block)
+  - KV cache sharded over the kv-head axis; embeddings and norms replicated.
+
+The forward code itself is the single-chip implementation in
+``models/llama.py`` — running it inside ``shard_map`` with a local config and a
+:class:`~xbitops_tpu.models.llama.TPRuntime` is the whole trick.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from xbitops_tpu.formats import QTensor
+from xbitops_tpu.models import llama
+from xbitops_tpu.parallel.tp import qtensor_pspecs
+
+
+def _w_spec(w, col=None, row=None):
+    if isinstance(w, QTensor):
+        return qtensor_pspecs(w, col_axis=col, row_axis=row)
+    return P(row, col)  # dense fallback
+
+
+def param_pspecs(params: dict, axis: str = "model") -> dict:
+    """PartitionSpec pytree mirroring ``init_params`` output."""
+    layers = []
+    for layer in params["layers"]:
+        layers.append(
+            dict(
+                wq=_w_spec(layer["wq"], col=axis),
+                wk=_w_spec(layer["wk"], col=axis),
+                wv=_w_spec(layer["wv"], col=axis),
+                wo=_w_spec(layer["wo"], row=axis),
+                w_gate=_w_spec(layer["w_gate"], col=axis),
+                w_up=_w_spec(layer["w_up"], col=axis),
+                w_down=_w_spec(layer["w_down"], row=axis),
+                ln_attn=P(None),
+                ln_mlp=P(None),
+            )
+        )
+    return dict(
+        embed=P(None, None),
+        lm_head=_w_spec(params["lm_head"], col=axis),
+        ln_final=P(None),
+        layers=layers,
+    )
+
+
+def cache_pspecs(axis: str = "model") -> llama.KVCache:
+    return llama.KVCache(
+        k=P(None, None, None, axis, None),
+        v=P(None, None, None, axis, None),
+        lengths=P(None),
+    )
+
+
+def shard_params(params: dict, mesh: Mesh, axis: str = "model") -> dict:
+    specs = param_pspecs(params, axis)
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs
+    )
+
+
+def shard_cache(cache: llama.KVCache, mesh: Mesh, axis: str = "model") -> llama.KVCache:
+    specs = cache_pspecs(axis)
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), cache, specs
+    )
+
+
+def tp_forward(
+    params: dict,
+    cfg: llama.LlamaConfig,
+    mesh: Mesh,
+    tokens: jax.Array,
+    cache: llama.KVCache,
+    positions: jax.Array,
+    axis: str = "model",
+) -> Tuple[jax.Array, llama.KVCache]:
+    """Sharded forward: logits replicated, cache stays head-sharded."""
+    tp = mesh.shape[axis]
+    local_cfg = cfg.local(tp)
+    rt = llama.TPRuntime(axis)
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(param_pspecs(params, axis), P(None, None), cache_pspecs(axis), P(None, None)),
+        out_specs=(P(None, None, None), cache_pspecs(axis)),
+        check_vma=False,
+    )
+    def f(params_l, tokens_l, cache_l, positions_l):
+        return llama.forward(params_l, local_cfg, tokens_l, cache_l, positions_l, rt)
+
+    return f(params, tokens, cache, positions)
+
+
+def tp_decode_step(params, cfg, mesh, tokens, cache, axis: str = "model"):
+    positions = cache.lengths[:, None]
+    logits, cache = tp_forward(params, cfg, mesh, tokens[:, None], cache, positions, axis)
+    return logits[:, -1, :], cache
+
+
+def tp_prefill(params, cfg, mesh, tokens, cache, axis: str = "model"):
+    B, T = tokens.shape
+    positions = jnp.broadcast_to(jnp.arange(T)[None], (B, T))
+    return tp_forward(params, cfg, mesh, tokens, cache, positions, axis)

@@ -23,12 +23,13 @@ import jax.numpy as jnp
 from jax import lax
 
 
-def _chained_scalar(step: Callable, iters: int):
-    """jit fn: run ``step`` ``iters`` times chained on the carry, reduce to scalar."""
+def _chained_scalar(step: Callable):
+    """jit fn (compiled once): run ``step`` ``n`` times chained on the carry
+    (dynamic trip count — no recompile per iteration count), reduce to scalar."""
 
     @jax.jit
-    def run(x):
-        y = lax.fori_loop(0, iters, lambda i, v: step(v), x)
+    def run(x, n):
+        y = lax.fori_loop(0, n, lambda i, v: step(v), x)
         return jnp.sum(y.astype(jnp.float32))
 
     return run
@@ -37,39 +38,36 @@ def _chained_scalar(step: Callable, iters: int):
 def measure_step(
     step: Callable,
     x0: jax.Array,
-    repeats: int = 7,
-    target_seconds: float = 0.15,
-    max_iters: int = 20000,
+    repeats: int = 5,
+    target_seconds: float = 0.3,
+    max_iters: int = 4_000_000,
 ) -> float:
     """Seconds per invocation of ``step`` (a carry -> carry function), measured on
     device with constant dispatch overhead differenced out.
 
-    Dispatch round-trips jitter by 10s of ms, so the iteration counts are sized
-    adaptively until the high-count run spends >= ``target_seconds`` on the loop
-    itself; the min over ``repeats`` rejects contention outliers."""
+    Dispatch round-trips jitter by 10s of ms, so the iteration count grows
+    geometrically until the loop body dominates (>= ``target_seconds``), then the
+    per-iteration slope is taken between n and 2n; min over ``repeats`` rejects
+    contention outliers."""
+    run = _chained_scalar(step)
 
-    def best(run, reps):
+    def best(n, reps):
         ts = []
         for _ in range(reps):
             t0 = time.perf_counter()
-            float(run(x0))
+            float(run(x0, n))
             ts.append(time.perf_counter() - t0)
         return min(ts)
 
-    # pilot: estimate per-iteration cost (overhead-inflated upper bound is fine)
-    pilot_iters = 16
-    pilot = _chained_scalar(step, pilot_iters)
-    float(pilot(x0))  # compile + warm
-    est = best(pilot, 3) / pilot_iters
-    iters_hi = int(min(max(32, target_seconds / max(est, 1e-9)), max_iters))
-    iters_lo = max(1, iters_hi // 5)
-
-    run_lo = _chained_scalar(step, iters_lo)
-    run_hi = _chained_scalar(step, iters_hi)
-    float(run_lo(x0))
-    float(run_hi(x0))
-    t_lo, t_hi = best(run_lo, repeats), best(run_hi, repeats)
-    return max((t_hi - t_lo) / (iters_hi - iters_lo), 1e-9)
+    float(run(x0, 4))  # compile + warm
+    n = 64
+    t_a = best(n, 2)
+    while t_a < target_seconds and n < max_iters:
+        n *= 4
+        t_a = best(n, 2)
+    t_a = min(t_a, best(n, max(1, repeats - 2)))
+    t_b = best(2 * n, repeats)
+    return max((t_b - t_a) / n, 1e-12)
 
 
 def roofline_gbps(bytes_moved: int, seconds: float) -> float:
