@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import dataclasses
 from functools import partial
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -57,11 +57,11 @@ def param_pspecs(params: dict, axis: str = "model") -> dict:
     )
 
 
-def cache_pspecs(axis: str = "model") -> llama.KVCache:
+def cache_pspecs(axis: str = "model", data_axis=None) -> llama.KVCache:
     return llama.KVCache(
-        k=P(None, None, None, axis, None),
-        v=P(None, None, None, axis, None),
-        lengths=P(None),
+        k=P(None, data_axis, None, axis, None),
+        v=P(None, data_axis, None, axis, None),
+        lengths=P(data_axis),
     )
 
 
@@ -87,17 +87,28 @@ def tp_forward(
     cache: llama.KVCache,
     positions: jax.Array,
     axis: str = "model",
+    data_axis: Optional[str] = None,
 ) -> Tuple[jax.Array, llama.KVCache]:
-    """Sharded forward: logits replicated, cache stays head-sharded."""
+    """Sharded forward: logits replicated over model, cache stays head-sharded.
+
+    ``data_axis`` additionally shards the batch dimension (dp x tp mesh); the
+    model axis collectives stay within each data-parallel replica.
+    """
     tp = mesh.shape[axis]
     local_cfg = cfg.local(tp)
     rt = llama.TPRuntime(axis)
+    da = data_axis
 
     @partial(
         shard_map,
         mesh=mesh,
-        in_specs=(param_pspecs(params, axis), P(None, None), cache_pspecs(axis), P(None, None)),
-        out_specs=(P(None, None, None), cache_pspecs(axis)),
+        in_specs=(
+            param_pspecs(params, axis),
+            P(da, None),
+            cache_pspecs(axis, da),
+            P(da, None),
+        ),
+        out_specs=(P(da, None, None), cache_pspecs(axis, da)),
         check_vma=False,
     )
     def f(params_l, tokens_l, cache_l, positions_l):
@@ -106,13 +117,15 @@ def tp_forward(
     return f(params, tokens, cache, positions)
 
 
-def tp_decode_step(params, cfg, mesh, tokens, cache, axis: str = "model"):
+def tp_decode_step(params, cfg, mesh, tokens, cache, axis: str = "model", data_axis=None):
     positions = cache.lengths[:, None]
-    logits, cache = tp_forward(params, cfg, mesh, tokens[:, None], cache, positions, axis)
+    logits, cache = tp_forward(
+        params, cfg, mesh, tokens[:, None], cache, positions, axis, data_axis
+    )
     return logits[:, -1, :], cache
 
 
-def tp_prefill(params, cfg, mesh, tokens, cache, axis: str = "model"):
+def tp_prefill(params, cfg, mesh, tokens, cache, axis: str = "model", data_axis=None):
     B, T = tokens.shape
     positions = jnp.broadcast_to(jnp.arange(T)[None], (B, T))
-    return tp_forward(params, cfg, mesh, tokens, cache, positions, axis)
+    return tp_forward(params, cfg, mesh, tokens, cache, positions, axis, data_axis)
