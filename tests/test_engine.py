@@ -1,0 +1,162 @@
+"""Continuous-batching engine tests (tiny model, CPU interpreter backend).
+
+The key property: a request's output is identical whether it runs alone in a
+batch-1 naive loop or interleaved with other requests through slot reuse —
+ragged prefill masking, the active-mask decode, and cache-slot recycling must
+not leak between requests.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from xbitops_tpu.engine import Engine, Request
+from xbitops_tpu.engine.sampling import sample_tokens
+from xbitops_tpu.models import llama
+from xbitops_tpu.parallel import mesh as meshlib
+
+CFG = llama.LlamaConfig.tiny()
+
+
+@pytest.fixture(scope="module")
+def params():
+    return llama.init_params(jax.random.PRNGKey(0), CFG, bits=8, group_size=32)
+
+
+def naive_greedy(params, prompt, n_new):
+    """Batch-1 prefill + step-by-step greedy decode, no engine."""
+    cache = llama.KVCache.init(CFG, 1)
+    tokens = jnp.asarray([prompt], jnp.int32)
+    logits, cache = llama.prefill(params, CFG, tokens, cache)
+    out = [int(jnp.argmax(logits[0, -1]))]
+    for _ in range(n_new - 1):
+        logits, cache = llama.decode_step(
+            params, CFG, jnp.asarray([out[-1]], jnp.int32), cache
+        )
+        out.append(int(jnp.argmax(logits[0])))
+    return out
+
+
+PROMPTS = [
+    [5, 9, 2],
+    [100, 3, 44, 7, 1, 13],
+    [42],
+    [7, 7, 7, 7],
+    [88, 12, 9, 33, 21],
+]
+
+
+def test_prefill_slot_matches_prefill(params):
+    """Bucket-padded single-slot prefill == plain prefill, token for token
+    (both eager, so bf16 numerics are identical — no jit-fusion noise)."""
+    prompt = PROMPTS[1]
+    want = naive_greedy(params, prompt, 6)
+    bucket = 8
+    toks = jnp.asarray(prompt + [0] * (bucket - len(prompt)), jnp.int32)
+    cache = llama.KVCache.init(CFG, 2)  # 2 slots; use slot 1 (non-trivial slot id)
+    last, cache = llama.prefill_slot(
+        params, CFG, toks, jnp.int32(len(prompt)), jnp.int32(1), cache
+    )
+    got = [int(jnp.argmax(last))]
+    for _ in range(5):
+        logits, cache = llama.decode_step(
+            params, CFG, jnp.asarray([0, got[-1]], jnp.int32), cache,
+            active=jnp.asarray([False, True]),
+        )
+        got.append(int(jnp.argmax(logits[1])))
+    assert got == want, (got, want)
+    assert int(cache.lengths[0]) == 0  # inactive slot untouched
+
+
+def test_engine_batching_isolation(params):
+    """5 ragged requests interleaved through 2 slots (with slot reuse) must
+    produce exactly what each request produces running alone through the same
+    engine shapes — batching and slot recycling must not leak between requests."""
+    batched = Engine(params, CFG, slots=2, prefill_buckets=[4, 8]).generate(
+        [Request(prompt=p, max_new_tokens=6) for p in PROMPTS]
+    )
+    solo_engine = Engine(params, CFG, slots=2, prefill_buckets=[4, 8])
+    for comp, prompt in zip(batched, PROMPTS):
+        [solo] = solo_engine.generate([Request(prompt=prompt, max_new_tokens=6)])
+        assert comp.tokens == solo.tokens, (prompt, comp.tokens, solo.tokens)
+        assert comp.finish_reason == "length"
+
+
+def test_engine_slot_count_invariance(params):
+    """Same results regardless of slot count (batching must not change tokens)."""
+    outs2 = Engine(params, CFG, slots=2).generate(
+        [Request(prompt=p, max_new_tokens=4) for p in PROMPTS[:3]]
+    )
+    outs4 = Engine(params, CFG, slots=4).generate(
+        [Request(prompt=p, max_new_tokens=4) for p in PROMPTS[:3]]
+    )
+    assert [c.tokens for c in outs2] == [c.tokens for c in outs4]
+
+
+def test_engine_eos_and_reuse(params):
+    """A request stopping at eos frees its slot for the queue."""
+    # discover what the engine emits for a prompt, then use token #2 as "eos"
+    eng = Engine(params, CFG, slots=1)
+    [probe] = eng.generate([Request(prompt=[5, 9, 2], max_new_tokens=3)])
+    eos = probe.tokens[1]
+    [probe2] = eng.generate([Request(prompt=[42], max_new_tokens=3)])
+    outs = eng.generate(
+        [
+            Request(prompt=[5, 9, 2], max_new_tokens=10, eos_id=eos),
+            Request(prompt=[42], max_new_tokens=3),
+        ]
+    )
+    assert outs[0].finish_reason == "eos"
+    assert outs[0].tokens == probe.tokens[:2]
+    assert outs[1].finish_reason == "length"
+    assert outs[1].tokens == probe2.tokens
+
+
+def test_engine_capacity_stop(params):
+    S = CFG.max_seq_len
+    eng = Engine(params, CFG, slots=1)
+    prompt = list(range(1, S - 3))  # length S-4; slots 4 decode positions remain
+    [comp] = eng.generate([Request(prompt=prompt, max_new_tokens=100)])
+    assert comp.finish_reason == "capacity"
+    assert len(comp.tokens) == 4
+
+
+def test_engine_sampled_reproducible(params):
+    reqs = [Request(prompt=[5, 9, 2], max_new_tokens=5, temperature=0.8)]
+    a = Engine(params, CFG, slots=2, seed=7).generate(list(reqs))
+    b = Engine(params, CFG, slots=2, seed=7).generate(list(reqs))
+    c = Engine(params, CFG, slots=2, seed=8).generate(list(reqs))
+    assert a[0].tokens == b[0].tokens
+    # different seed should (overwhelmingly) differ somewhere in 5 tokens
+    assert len(a[0].tokens) == 5 and len(c[0].tokens) == 5
+
+
+def test_engine_tp_matches_single(params):
+    mesh = meshlib.make_mesh((1, 2), ("data", "model"))
+    tp_params = llama.init_params(jax.random.PRNGKey(0), CFG, bits=8, group_size=32, tp=2)
+    single = Engine(params, CFG, slots=2).generate(
+        [Request(prompt=p, max_new_tokens=4) for p in PROMPTS[:2]]
+    )
+    tp = Engine(tp_params, CFG, slots=2, mesh=mesh).generate(
+        [Request(prompt=p, max_new_tokens=4) for p in PROMPTS[:2]]
+    )
+    assert [c.tokens for c in single] == [c.tokens for c in tp]
+
+
+def test_sample_tokens_modes():
+    key = jax.random.PRNGKey(0)
+    logits = jnp.asarray(
+        [[0.0, 5.0, 1.0, -2.0], [10.0, 0.0, 0.0, 0.0]], jnp.float32
+    )
+    greedy = sample_tokens(logits, key, jnp.zeros(2))
+    assert greedy.tolist() == [1, 0]
+    # top_k=1 sampling degenerates to greedy
+    tk1 = sample_tokens(logits, key, jnp.ones(2), top_k=1)
+    assert tk1.tolist() == [1, 0]
+    # top_p tiny keeps only the top token
+    tp = sample_tokens(logits, key, jnp.ones(2), top_p=1e-6)
+    assert tp.tolist() == [1, 0]
+    # high temperature draws valid ids
+    hot = sample_tokens(logits, jax.random.PRNGKey(3), jnp.full(2, 100.0))
+    assert all(0 <= int(t) < 4 for t in hot)

@@ -1,0 +1,229 @@
+"""Continuous-batching decode engine.
+
+The reference stops at the fused GEMV; serving is left to the caller (SURVEY §1
+"what sits above L4").  Here the decode loop is part of the framework:
+
+- a fixed pool of ``slots`` cache slots (static shapes — XLA compiles exactly
+  two programs: per-bucket prefill and one decode step);
+- ragged admission: each incoming request prefills into a free slot (padded to
+  a static bucket length; pad tokens carry position >= S so they neither write
+  cache nor advance lengths — see ``models/llama.py``);
+- batched decode over all slots with an ``active`` mask; finished slots are
+  refilled from the queue without draining the batch (continuous batching);
+- per-slot temperature, engine-level top-k/top-p, per-request eos/max-tokens.
+
+Runs single-chip or tensor-parallel over a mesh (same host loop; the jitted
+step functions swap for shard_map versions).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from collections import deque
+from functools import partial
+from typing import Callable, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from xbitops_tpu.engine import sampling
+from xbitops_tpu.models import llama
+
+
+@dataclasses.dataclass
+class Request:
+    """One generation request."""
+
+    prompt: Sequence[int]
+    max_new_tokens: int = 64
+    temperature: float = 0.0
+    eos_id: Optional[int] = None
+    id: Optional[int] = None
+
+
+@dataclasses.dataclass
+class Completion:
+    id: int
+    prompt_len: int
+    tokens: List[int]  # generated tokens (eos included if hit)
+    finish_reason: str  # "eos" | "length" | "capacity"
+
+
+def default_buckets(max_seq_len: int) -> List[int]:
+    b, out = 16, []
+    while b < max_seq_len:
+        out.append(b)
+        b *= 2
+    out.append(max_seq_len)
+    return out
+
+
+class Engine:
+    """Continuous-batching engine over a quantized (or dense) Llama model."""
+
+    def __init__(
+        self,
+        params,
+        cfg: llama.LlamaConfig,
+        slots: int = 8,
+        mesh=None,
+        axis: str = "model",
+        prefill_buckets: Optional[Sequence[int]] = None,
+        top_k: int = 0,
+        top_p: float = 1.0,
+        seed: int = 0,
+        cache_dtype=jnp.bfloat16,
+    ):
+        self.cfg = cfg
+        self.slots = slots
+        self.mesh = mesh
+        self.axis = axis
+        self.buckets = sorted(prefill_buckets or default_buckets(cfg.max_seq_len))
+        self._key = jax.random.PRNGKey(seed)
+        self._next_id = 0
+
+        cache = llama.KVCache.init(cfg, slots, dtype=cache_dtype)
+        if mesh is not None:
+            from xbitops_tpu.parallel import model_tp
+
+            params = model_tp.shard_params(params, mesh, axis)
+            cache = model_tp.shard_cache(cache, mesh, axis)
+        self.params = params
+        self.cache = cache
+        self._build_step_fns(top_k, top_p)
+
+    # --- jitted step functions ---
+
+    def _build_step_fns(self, top_k: int, top_p: float) -> None:
+        cfg, mesh, axis = self.cfg, self.mesh, self.axis
+
+        if mesh is None:
+            def base_prefill(params, cache, tokens, true_len, slot):
+                return llama.prefill_slot(params, cfg, tokens, true_len, slot, cache)
+
+            def base_decode(params, cache, tokens, active):
+                return llama.decode_step(params, cfg, tokens, cache, active=active)
+        else:
+            from xbitops_tpu.parallel import model_tp
+
+            def base_prefill(params, cache, tokens, true_len, slot):
+                return model_tp.tp_prefill_slot(
+                    params, cfg, mesh, tokens, true_len, slot, cache, axis
+                )
+
+            def base_decode(params, cache, tokens, active):
+                return model_tp.tp_decode_step(
+                    params, cfg, mesh, tokens, cache, axis, active=active
+                )
+
+        @partial(jax.jit, donate_argnums=(1,))
+        def prefill_fn(params, cache, tokens, true_len, slot, key, temp):
+            logits, cache = base_prefill(params, cache, tokens, true_len, slot)
+            tok = sampling.sample_tokens(
+                logits[None], key, temp[None], top_k, top_p
+            )
+            return tok[0], cache
+
+        @partial(jax.jit, donate_argnums=(1,))
+        def decode_fn(params, cache, tokens, active, key, temps):
+            logits, cache = base_decode(params, cache, tokens, active)
+            toks = sampling.sample_tokens(logits, key, temps, top_k, top_p)
+            return jnp.where(active, toks, 0), cache
+
+        self._prefill_fn = prefill_fn
+        self._decode_fn = decode_fn
+
+    def _bucket(self, n: int) -> int:
+        for b in self.buckets:
+            if b >= n:
+                return b
+        raise ValueError(f"prompt length {n} exceeds max bucket {self.buckets[-1]}")
+
+    def _split_key(self):
+        self._key, k = jax.random.split(self._key)
+        return k
+
+    # --- host-side continuous-batching loop ---
+
+    def generate(
+        self,
+        requests: Sequence[Request],
+        on_token: Optional[Callable[[int, int], None]] = None,
+    ) -> List[Completion]:
+        """Run all requests to completion; slots refill as they free."""
+        S = self.cfg.max_seq_len
+        pending = deque()
+        for r in requests:
+            if r.id is None:
+                r = dataclasses.replace(r, id=self._next_id)
+            self._next_id = max(self._next_id, r.id + 1)
+            if len(r.prompt) >= S:
+                raise ValueError(f"prompt length {len(r.prompt)} >= max_seq_len {S}")
+            pending.append(r)
+
+        slot_req: List[Optional[Request]] = [None] * self.slots
+        slot_gen: List[List[int]] = [[] for _ in range(self.slots)]
+        slot_len = np.zeros(self.slots, np.int64)  # prompt + generated
+        cur_tok = np.zeros(self.slots, np.int32)
+        temps = np.zeros(self.slots, np.float32)
+        active = np.zeros(self.slots, bool)
+        done: List[Completion] = []
+
+        def finish(b: int, reason: str):
+            r = slot_req[b]
+            done.append(Completion(r.id, len(r.prompt), slot_gen[b], reason))
+            slot_req[b] = None
+            slot_gen[b] = []
+            active[b] = False
+
+        def accept(b: int, tok: int) -> None:
+            """Record one generated token for slot b; retire if finished."""
+            r = slot_req[b]
+            slot_gen[b].append(tok)
+            slot_len[b] += 1
+            if on_token is not None:
+                on_token(r.id, tok)
+            if r.eos_id is not None and tok == r.eos_id:
+                finish(b, "eos")
+            elif len(slot_gen[b]) >= r.max_new_tokens:
+                finish(b, "length")
+            elif slot_len[b] >= S:
+                finish(b, "capacity")
+            else:
+                cur_tok[b] = tok
+
+        while pending or active.any():
+            # admit new requests into free slots
+            for b in range(self.slots):
+                if not active[b] and pending:
+                    r = pending.popleft()
+                    prompt = list(r.prompt)
+                    bucket = self._bucket(len(prompt))
+                    toks = np.zeros(bucket, np.int32)
+                    toks[: len(prompt)] = prompt
+                    tok_dev, self.cache = self._prefill_fn(
+                        self.params, self.cache, jnp.asarray(toks),
+                        jnp.int32(len(prompt)), jnp.int32(b), self._split_key(),
+                        jnp.float32(r.temperature),
+                    )
+                    slot_req[b] = r
+                    slot_gen[b] = []
+                    slot_len[b] = len(prompt)
+                    temps[b] = r.temperature
+                    active[b] = True
+                    accept(b, int(tok_dev))
+
+            if not active.any():
+                continue
+
+            toks_dev, self.cache = self._decode_fn(
+                self.params, self.cache, jnp.asarray(cur_tok),
+                jnp.asarray(active), self._split_key(), jnp.asarray(temps),
+            )
+            toks = np.asarray(jax.device_get(toks_dev))
+            for b in range(self.slots):
+                if active[b]:
+                    accept(b, int(toks[b]))
+
+        return sorted(done, key=lambda c: c.id)

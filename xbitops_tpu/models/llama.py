@@ -231,8 +231,18 @@ def _attention(q, k, v, mask, scale):
     return out.astype(q.dtype)
 
 
-def _block(layer, cfg: LlamaConfig, rt: Runtime, x, positions, k_cache, v_cache, mask):
-    """One transformer block on [B, T, h_local-agnostic]; returns new (k, v) slice."""
+def _block(
+    layer, cfg: LlamaConfig, rt: Runtime, x, positions, k_cache, v_cache, mask,
+    slot_ids=None, self_attend=False,
+):
+    """One transformer block on [B, T, h_local-agnostic]; returns new (k, v) slice.
+
+    ``slot_ids`` maps x's batch rows to cache slots (default: identity).  With
+    ``self_attend`` the attention context is the block's own k/v (a fresh
+    request prefilling — nothing older exists in its slot) while the cache is
+    still updated, so a single request can prefill into a shared batched cache
+    without reading the other slots.
+    """
     B, T, _ = x.shape
     H, Hkv, D = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
 
@@ -243,12 +253,17 @@ def _block(layer, cfg: LlamaConfig, rt: Runtime, x, positions, k_cache, v_cache,
     q = _rope(q, positions, cfg.rope_theta)
     k = _rope(k, positions, cfg.rope_theta)
 
-    # scatter new k/v into the cache at each slot's position
-    onehot = jax.nn.one_hot(positions, k_cache.shape[1], dtype=k.dtype)  # [B,T,S]
-    k_cache = k_cache + jnp.einsum("bts,bthd->bshd", onehot, k)
-    v_cache = v_cache + jnp.einsum("bts,bthd->bshd", onehot, v)
+    # Scatter new k/v into the cache at each slot's position.  JAX drops
+    # out-of-bounds scatter updates, so positions >= S (padding / inactive
+    # slots) write nothing — the engine relies on this for ragged batches.
+    b_idx = (slot_ids if slot_ids is not None else jnp.arange(B))[:, None]
+    k_cache = k_cache.at[b_idx, positions].set(k.astype(k_cache.dtype), mode="drop")
+    v_cache = v_cache.at[b_idx, positions].set(v.astype(v_cache.dtype), mode="drop")
 
-    att = _attention(q, k_cache, v_cache, mask, D ** -0.5)
+    if self_attend:
+        att = _attention(q, k, v, mask, D ** -0.5)
+    else:
+        att = _attention(q, k_cache, v_cache, mask, D ** -0.5)
     x = x + rt.row(att.reshape(B, T, H * D), layer["wo"])
 
     hx = rms_norm(x, layer["ln_mlp"], cfg.rms_eps)
@@ -266,25 +281,35 @@ def forward(
     cache: KVCache,
     positions: jax.Array,  # int32 [B, T] absolute positions of `tokens`
     rt: Optional[Runtime] = None,
+    slot_ids: Optional[jax.Array] = None,  # int32 [B] cache slots for x's rows
+    self_attend: bool = False,
 ) -> Tuple[jax.Array, KVCache]:
     """Run T tokens per slot through the model (T=1 -> decode; T>1 -> prefill).
 
     Assumes cache slots were written for positions < lengths; attends to cached
-    positions plus causally to the new tokens.
+    positions plus causally to the new tokens.  Positions >= S mark padding /
+    inactive tokens: they write nothing to the cache and advance no lengths.
     """
     rt = rt or Runtime()
     B, T = tokens.shape
     x = params["embed"][tokens].astype(jnp.bfloat16)
 
     S = cache.k.shape[2]
-    # mask[b, q, s]: cache position s visible to query q (s <= positions[b, q])
-    s_idx = jnp.arange(S)[None, None, :]
-    mask = s_idx <= positions[:, :, None]
+    if self_attend:
+        # mask[b, q, t]: block token t visible to query q (causal, non-pad)
+        mask = (positions[:, None, :] <= positions[:, :, None]) & (
+            positions[:, None, :] < S
+        )
+    else:
+        # mask[b, q, s]: cache position s visible to query q (s <= positions[b, q])
+        s_idx = jnp.arange(S)[None, None, :]
+        mask = s_idx <= positions[:, :, None]
 
     new_k, new_v = [], []
     for li, layer in enumerate(params["layers"]):
         x, kc, vc = _block(
-            layer, cfg, rt, x, positions, cache.k[li], cache.v[li], mask
+            layer, cfg, rt, x, positions, cache.k[li], cache.v[li], mask,
+            slot_ids=slot_ids, self_attend=self_attend,
         )
         new_k.append(kc)
         new_v.append(vc)
@@ -292,18 +317,54 @@ def forward(
     x = rms_norm(x, params["ln_final"], cfg.rms_eps)
     logits = _linear(x, params["lm_head"])
     logits = rt.logits_gather(logits)
+    # Positions >= S mark padding/inactive tokens; they advance nothing.
+    valid_next = jnp.where(positions < S, positions + 1, 0)
+    rows = slot_ids if slot_ids is not None else jnp.arange(B)
     new_cache = KVCache(
         k=jnp.stack(new_k), v=jnp.stack(new_v),
-        lengths=jnp.maximum(cache.lengths, positions[:, -1] + 1),
+        lengths=cache.lengths.at[rows].max(jnp.max(valid_next, axis=1)),
     )
     return logits, new_cache
 
 
-def decode_step(params, cfg, tokens, cache, rt=None):
-    """One greedy decode step: tokens int32 [B] at positions cache.lengths."""
+def decode_step(params, cfg, tokens, cache, rt=None, active=None):
+    """One decode step: tokens int32 [B] at positions cache.lengths.
+
+    ``active`` (bool [B]) masks slots: inactive slots compute but write nothing
+    and advance nothing (continuous batching with static shapes).
+    """
     positions = cache.lengths[:, None]
+    if active is not None:
+        positions = jnp.where(active[:, None], positions, cache.k.shape[2])
     logits, cache = forward(params, cfg, tokens[:, None], cache, positions, rt)
     return logits[:, -1, :], cache
+
+
+def prefill_slot(params, cfg, tokens, true_len, slot, cache, rt=None):
+    """Prefill ONE request into cache slot ``slot``; returns last-token logits.
+
+    ``tokens`` is int32 [T] zero-padded past ``true_len`` (T is the engine's
+    static bucket size).  Attention is self-contained — a fresh request has
+    nothing in its slot — so no other slot's cache is read, and pad tokens
+    (position set to S) neither write cache nor advance the slot length.
+    """
+    T = tokens.shape[0]
+    S = cache.k.shape[2]
+    pos = jnp.arange(T)
+    positions = jnp.where(pos < true_len, pos, S)[None]
+    logits, cache = forward(
+        params, cfg, tokens[None], cache, positions, rt,
+        slot_ids=jnp.full((1,), slot, jnp.int32), self_attend=True,
+    )
+    # Reset the slot's length outright (forward's scatter-max would keep a
+    # longer stale length from a previous occupant of this slot).
+    cache = KVCache(
+        k=cache.k, v=cache.v, lengths=cache.lengths.at[slot].set(true_len)
+    )
+    last = jax.lax.dynamic_index_in_dim(
+        logits[0], jnp.maximum(true_len - 1, 0), axis=0, keepdims=False
+    )
+    return last, cache
 
 
 def prefill(params, cfg, tokens, cache, rt=None):

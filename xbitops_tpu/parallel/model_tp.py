@@ -117,12 +117,40 @@ def tp_forward(
     return f(params, tokens, cache, positions)
 
 
-def tp_decode_step(params, cfg, mesh, tokens, cache, axis: str = "model", data_axis=None):
+def tp_decode_step(
+    params, cfg, mesh, tokens, cache, axis: str = "model", data_axis=None, active=None
+):
     positions = cache.lengths[:, None]
+    if active is not None:
+        positions = jnp.where(active[:, None], positions, cache.k.shape[2])
     logits, cache = tp_forward(
         params, cfg, mesh, tokens[:, None], cache, positions, axis, data_axis
     )
     return logits[:, -1, :], cache
+
+
+def tp_prefill_slot(
+    params, cfg, mesh, tokens, true_len, slot, cache, axis: str = "model"
+):
+    """Sharded :func:`~xbitops_tpu.models.llama.prefill_slot` (one request into
+    one cache slot; tokens/scalars replicated, cache head-sharded)."""
+    tp = mesh.shape[axis]
+    local_cfg = cfg.local(tp)
+    rt = llama.TPRuntime(axis)
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(param_pspecs(params, axis), P(None), P(), P(), cache_pspecs(axis)),
+        out_specs=(P(None), cache_pspecs(axis)),
+        check_vma=False,
+    )
+    def f(params_l, tokens_l, true_len_l, slot_l, cache_l):
+        return llama.prefill_slot(
+            params_l, local_cfg, tokens_l, true_len_l, slot_l, cache_l, rt
+        )
+
+    return f(params, tokens, jnp.asarray(true_len), jnp.asarray(slot), cache)
 
 
 def tp_prefill(params, cfg, mesh, tokens, cache, axis: str = "model", data_axis=None):
