@@ -100,10 +100,22 @@ def min_tile_k(bits: int) -> int:
 
 def default_tile_k(K: int, group_size: int, bits: int = 1) -> int:
     """Pick a K-tile size: >= min_tile_k(bits), aligned with group boundaries.
-    Prefers a tile dividing K (no padding); falls back to lcm for odd group sizes
-    (rows then get zero-padded up to a tile multiple)."""
+
+    Strongly prefers the **ratio-aligned** tile ``max_ratio * group_size``
+    (max_ratio = values/word of the narrowest plane): then every kernel row
+    chunk is exactly one group and one plane slot (see ``kernels.common.
+    chunk_plan``), and the per-tile scale rows ``gt = max_ratio`` fill the
+    8-sublane padding — measured ~2x bandwidth vs small tiles on v5e.  K pads
+    up to a tile multiple; the aligned tile is used when that wastes <= 1/8 of
+    K.  Falls back to the largest K-dividing group-compatible tile."""
     floor = min_tile_k(bits)
-    cands = [c for c in (512, 256, 128, 64, 32) if c >= floor]
+    max_ratio = 32 // min(PLANE_DECOMP[bits])
+    aligned = max_ratio * group_size
+    if aligned % floor == 0 and aligned <= 4096:
+        pad = _round_up(K, aligned) - K
+        if pad * 8 <= K:
+            return aligned
+    cands = [c for c in (1024, 512, 256, 128, 64, 32) if c >= floor]
     for cand in cands:
         if K % cand == 0 and _tile_group_compatible(cand, group_size):
             return cand
@@ -174,7 +186,10 @@ def _pack_bits_np(vals: np.ndarray, bits: int, axis: int) -> np.ndarray:
         out[wi] |= (v << off) & 0xFFFFFFFF
         if off + bits > 32:
             out[wi + 1] |= v >> (32 - off)
-    return np.moveaxis(out.astype(np.uint32).view(np.int32), 0, axis)
+    # contiguous: downstream serializers (safetensors) mishandle strided views
+    return np.ascontiguousarray(
+        np.moveaxis(out.astype(np.uint32).view(np.int32), 0, axis)
+    )
 
 
 def gptq_pack(
@@ -354,6 +369,7 @@ class QTensor:
     K: int  # number of (padded) rows represented by `planes`
     K_logical: int  # rows before padding (== K unless padded)
     perm: Optional[jax.Array] = None  # int32[K_logical] act-order permutation
+    N_logical: Optional[int] = None  # columns before lane padding (None = N)
 
     @property
     def N(self) -> int:
@@ -361,7 +377,7 @@ class QTensor:
 
     @property
     def shape(self) -> Tuple[int, int]:
-        return (self.K_logical, self.N)
+        return (self.K_logical, self.N_logical or self.N)
 
     @property
     def plane_bits(self) -> Tuple[int, ...]:
@@ -402,14 +418,17 @@ def tile_scales(scales: jax.Array, tile_k: int, group_size: int, K: int) -> jax.
 
 def _qtensor_flatten(qt: QTensor):
     children = (qt.planes, qt.scales, qt.scale_zeros, qt.perm)
-    aux = (qt.bits, qt.group_size, qt.tile_k, qt.K, qt.K_logical)
+    aux = (qt.bits, qt.group_size, qt.tile_k, qt.K, qt.K_logical, qt.N_logical)
     return children, aux
 
 
 def _qtensor_unflatten(aux, children):
     planes, scales, scale_zeros, perm = children
-    bits, group_size, tile_k, K, K_logical = aux
-    return QTensor(tuple(planes), scales, scale_zeros, bits, group_size, tile_k, K, K_logical, perm)
+    bits, group_size, tile_k, K, K_logical, N_logical = aux
+    return QTensor(
+        tuple(planes), scales, scale_zeros, bits, group_size, tile_k, K,
+        K_logical, perm, N_logical,
+    )
 
 
 jax.tree_util.register_pytree_node(QTensor, _qtensor_flatten, _qtensor_unflatten)
@@ -451,6 +470,13 @@ def make_qtensor(
         if gpad:
             scales = jnp.pad(scales, ((0, gpad), (0, 0)), constant_values=1)
             zeros = jnp.pad(zeros, ((0, gpad), (0, 0)))
+    N_logical = None
+    Np = _round_up(N, 128)  # lane-pad: kernels want >= one 128-lane tile
+    if Np != N:
+        N_logical = N
+        wq = jnp.pad(wq, ((0, 0), (0, Np - N)))
+        scales = jnp.pad(scales, ((0, 0), (0, Np - N)), constant_values=1)
+        zeros = jnp.pad(zeros, ((0, 0), (0, Np - N)))
     z = zeros.astype(jnp.float32) + float(add_zero_bias)
     sz = (scales.astype(jnp.float32).astype(scales.dtype) * z.astype(scales.dtype)).astype(
         scales.dtype
@@ -465,6 +491,7 @@ def make_qtensor(
         K=K,
         K_logical=K_logical,
         perm=perm,
+        N_logical=N_logical,
     )
 
 
@@ -567,6 +594,7 @@ def make_row_sharded_qtensor(
         K=first.K,
         K_logical=first.K_logical,
         perm=None,
+        N_logical=first.N_logical,
     )
 
 
@@ -584,10 +612,10 @@ def _expand_tiled_scales(ts: jax.Array, qt: QTensor) -> jax.Array:
 
 
 def dequant_qtensor_reference(qt: QTensor, out_dtype=jnp.bfloat16) -> jax.Array:
-    """jnp oracle for dequantizing a QTensor (logical row order, unpadded)."""
+    """jnp oracle for dequantizing a QTensor (logical row/col order, unpadded)."""
     wq = unpack_planes_reference(qt.planes, qt.bits, qt.tile_k, qt.K).astype(jnp.float32)
     w = wq * _expand_tiled_scales(qt.scales, qt) - _expand_tiled_scales(qt.scale_zeros, qt)
-    w = w[: qt.K_logical]
+    w = w[: qt.K_logical, : qt.shape[1]]
     if qt.perm is not None:
         w = jnp.zeros_like(w).at[qt.perm].set(w)
     return w.astype(out_dtype)

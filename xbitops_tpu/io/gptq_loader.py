@@ -1,0 +1,180 @@
+"""AutoGPTQ / GPTQ-for-LLaMa checkpoint ingestion → packed TPU params.
+
+The reference consumes pre-quantized GPTQ tensors but ships no loader — the
+caller hands ``qweight/scales/qzeros`` to the ops (``dq_torch_ops.cc:23-78``).
+Here ingestion is part of the framework: a HuggingFace-layout AutoGPTQ Llama
+checkpoint (``*.safetensors`` + ``config.json`` + ``quantize_config.json``) is
+converted straight into the TPU-native plane layout (``formats.from_gptq``),
+including the act-order (``g_idx``) row pre-sort and optional row-parallel
+repacking for tensor parallelism.
+
+Zero-point convention: AutoGPTQ's packer stores ``zero - 1`` in ``qzeros`` (its
+CUDA dequant adds the +1 back — the same convention as the reference's
+``add_zero_bias=1``, ``unpack_weight_2_to_7.cu:60``); newer "v2"/sym formats
+store true zeros.  ``add_zero_bias=None`` auto-detects from
+``quantize_config.json`` (``checkpoint_format``/``version``), defaulting to 1.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from xbitops_tpu import formats
+from xbitops_tpu.models.llama import LlamaConfig
+
+__all__ = ["load_autogptq", "llama_config_from_hf"]
+
+
+def _load_safetensors_dir(path: Path) -> dict:
+    from safetensors import numpy as st_np
+
+    files = sorted(path.glob("*.safetensors"))
+    if not files:
+        raise FileNotFoundError(f"no *.safetensors under {path}")
+    tensors = {}
+    for f in files:
+        tensors.update(st_np.load_file(str(f)))
+    return tensors
+
+
+def llama_config_from_hf(cfg: dict, max_seq_len: Optional[int] = None) -> LlamaConfig:
+    heads = cfg["num_attention_heads"]
+    return LlamaConfig(
+        vocab_size=cfg["vocab_size"],
+        hidden_size=cfg["hidden_size"],
+        intermediate_size=cfg["intermediate_size"],
+        num_layers=cfg["num_hidden_layers"],
+        num_heads=heads,
+        num_kv_heads=cfg.get("num_key_value_heads", heads),
+        head_dim=cfg.get("head_dim", cfg["hidden_size"] // heads),
+        rope_theta=cfg.get("rope_theta", 10000.0),
+        rms_eps=cfg.get("rms_norm_eps", 1e-5),
+        max_seq_len=max_seq_len or min(cfg.get("max_position_embeddings", 2048), 4096),
+    )
+
+
+def _detect_zero_bias(qcfg: dict) -> int:
+    # AutoGPTQ "gptq" format stores zero-1; "gptq_v2" stores true zeros.
+    fmt = qcfg.get("checkpoint_format", "gptq")
+    if fmt == "gptq_v2":
+        return 0
+    return 1
+
+
+def _to_qtensor(
+    tensors: dict,
+    prefix: str,
+    in_features: int,
+    bits: int,
+    group_size: int,
+    add_zero_bias: int,
+    tp: int,
+    scale_store_dtype,
+):
+    qweight = jnp.asarray(tensors[f"{prefix}.qweight"])
+    scales = jnp.asarray(tensors[f"{prefix}.scales"])
+    qzeros = jnp.asarray(tensors[f"{prefix}.qzeros"])
+    g_idx = tensors.get(f"{prefix}.g_idx")
+    # a trivial (monotone) g_idx is not act-order — drop it
+    if g_idx is not None:
+        trivial = np.array_equal(
+            np.asarray(g_idx, np.int64), np.arange(in_features) // group_size
+        )
+        g_idx = None if trivial else jnp.asarray(np.asarray(g_idx), jnp.int32)
+    if tp > 1:
+        if g_idx is not None:
+            raise NotImplementedError(
+                "act-order (g_idx) + row-parallel TP is not supported; "
+                "load with tp=1 or re-quantize without desc_act"
+            )
+        wq = formats.gptq_unpack_weight(qweight, bits, in_features)
+        zeros = formats.gptq_unpack_zeros(qzeros, bits, scales.shape[1])
+        return formats.make_row_sharded_qtensor(
+            wq, scales, zeros, bits, group_size, tp,
+            add_zero_bias=add_zero_bias, scale_store_dtype=scale_store_dtype,
+        )
+    return formats.from_gptq(
+        qweight, scales, qzeros, bits, group_size, in_features,
+        add_zero_bias=add_zero_bias, g_idx=g_idx,
+        scale_store_dtype=scale_store_dtype,
+    )
+
+
+def load_autogptq(
+    path: str,
+    tp: int = 1,
+    max_seq_len: Optional[int] = None,
+    add_zero_bias: Optional[int] = None,
+    dtype=jnp.bfloat16,
+    scale_store_dtype=jnp.float32,
+) -> Tuple[dict, LlamaConfig]:
+    """Load an AutoGPTQ Llama checkpoint directory into (params, config).
+
+    ``tp > 1`` repacks the row-parallel projections (o_proj, down_proj)
+    shard-stacked for a ``tp``-way model axis (``formats.make_row_sharded_
+    qtensor``); column-parallel tensors shard at placement time, no repack.
+    """
+    p = Path(path)
+    hf_cfg = json.loads((p / "config.json").read_text())
+    if hf_cfg.get("model_type", "llama") not in ("llama", "mistral"):
+        raise ValueError(f"unsupported model_type {hf_cfg.get('model_type')}")
+    qcfg_path = p / "quantize_config.json"
+    qcfg = json.loads(qcfg_path.read_text()) if qcfg_path.exists() else {}
+    bits = qcfg.get("bits", 4)
+    group_size = qcfg.get("group_size", 128)
+    if add_zero_bias is None:
+        add_zero_bias = _detect_zero_bias(qcfg)
+    cfg = llama_config_from_hf(hf_cfg, max_seq_len)
+    tensors = _load_safetensors_dir(p)
+
+    h = cfg.hidden_size
+
+    def q(prefix: str, k_dim: int, row_parallel: bool = False):
+        if f"{prefix}.qweight" in tensors:
+            return _to_qtensor(
+                tensors, prefix, k_dim, bits, group_size, add_zero_bias,
+                tp if row_parallel else 1, scale_store_dtype,
+            )
+        # dense fallback (e.g. lm_head kept fp16 in many GPTQ checkpoints);
+        # HF stores [out, in] — transpose to [in, out]
+        return jnp.asarray(tensors[f"{prefix}.weight"]).T.astype(dtype)
+
+    layers = []
+    for i in range(cfg.num_layers):
+        pre = f"model.layers.{i}"
+        layers.append(
+            dict(
+                wq=q(f"{pre}.self_attn.q_proj", h),
+                wk=q(f"{pre}.self_attn.k_proj", h),
+                wv=q(f"{pre}.self_attn.v_proj", h),
+                wo=q(f"{pre}.self_attn.o_proj", cfg.num_heads * cfg.head_dim,
+                     row_parallel=True),
+                w_gate=q(f"{pre}.mlp.gate_proj", h),
+                w_up=q(f"{pre}.mlp.up_proj", h),
+                w_down=q(f"{pre}.mlp.down_proj", cfg.intermediate_size,
+                         row_parallel=True),
+                ln_attn=jnp.asarray(tensors[f"{pre}.input_layernorm.weight"]).astype(
+                    jnp.float32
+                ),
+                ln_mlp=jnp.asarray(
+                    tensors[f"{pre}.post_attention_layernorm.weight"]
+                ).astype(jnp.float32),
+            )
+        )
+    embed = jnp.asarray(tensors["model.embed_tokens.weight"]).astype(dtype)
+    if "lm_head.weight" in tensors or "lm_head.qweight" in tensors:
+        lm_head = q("lm_head", h)
+    else:  # tied embeddings
+        lm_head = embed.T
+    params = dict(
+        embed=embed,
+        lm_head=lm_head,
+        ln_final=jnp.asarray(tensors["model.norm.weight"]).astype(jnp.float32),
+        layers=layers,
+    )
+    return params, cfg

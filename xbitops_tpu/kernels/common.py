@@ -25,51 +25,57 @@ def interpret_default() -> bool:
     return jax.default_backend() not in ("tpu", "axon")
 
 
-def unpack_plane_tile(words: jax.Array, pb: int) -> jax.Array:
-    """Unpack one K-tile of sublane-strided plane words ``(wt, n) int32`` into
-    integer values ``(wt * 32//pb, n) int32``.
-
-    Pure lane-parallel shift/mask; the concatenate writes each bit-slot as a
-    contiguous block of sublanes (that is what the strided pack layout buys us —
-    contrast with the reference's per-thread byte extraction,
-    ``gemv_w4a16_pt.cu:84-95``, which has no efficient TPU analog).
-    """
-    ratio = 32 // pb
-    mask = (1 << pb) - 1
-    parts = [(words >> (pb * j)) & mask for j in range(ratio)]
-    return jnp.concatenate(parts, axis=0)
-
-
-def dequant_tile(plane_blocks, plane_bits, s_block, sz_block, tile_k: int, gt: int):
-    """Dequantize one (tile_k, tn) tile from packed plane blocks, in f32.
-
-    ``s_block``/``sz_block`` are the tile's scale rows ``(gt_pad, tn)`` (first
-    ``gt`` rows real, rest sublane padding); the per-row expansion is done by
-    broadcasting over a folded (gt, rows_per_group, tn) view, never a gather.
-    Dequant rule ``w = wq*s - sz`` per the reference
-    (``unpack_weight_2_to_7.cu:75``).
-    """
-    wq = None
-    shift = 0
-    for blk, pb in zip(plane_blocks, plane_bits):
-        vals = unpack_plane_tile(blk, pb)
-        wq = vals if wq is None else (wq | (vals << shift))
-        shift += pb
-    tn = wq.shape[-1]
-    rows_per_g = tile_k // gt
-    wqf = wq.astype(jnp.float32).reshape(gt, rows_per_g, tn)
-    s = s_block[:gt].astype(jnp.float32)[:, None, :]
-    sz = sz_block[:gt].astype(jnp.float32)[:, None, :]
-    return (wqf * s - sz).reshape(tile_k, tn)
-
-
 def plane_ratios(bits: int):
     return tuple(32 // pb for pb in PLANE_DECOMP[bits])
 
 
-def pick_tile_n(N: int, prefer: int = 512) -> int:
-    """Largest lane-tile (multiple of 128) that divides N, capped at ``prefer``."""
-    for cand in (1024, 768, 512, 384, 256, 128):
-        if cand <= prefer and N % cand == 0:
+def pick_tile_n(N: int, prefer: int = 2048) -> int:
+    """Lane-tile choice (multiple of 128).  Bigger tiles amortize per-grid-step
+    overhead and raise achieved HBM bandwidth (measured: tn=2048 is ~2x the
+    GB/s of tn=512 on v5e); partial last blocks are fine (Pallas masks them),
+    but avoid tiles that waste >15% of N to padding."""
+    if N % 128:
+        raise ValueError(f"N={N} must be a multiple of 128 (pad first)")
+    for cand in (2048, 1024, 512, 256, 128):
+        if cand <= prefer and (cand <= N and (cdiv(N, cand) * cand - N) * 20 <= N):
             return cand
-    raise ValueError(f"N={N} must be a multiple of 128 (pad first)")
+    return 128
+
+
+def chunk_plan(plane_bits, tile_k: int, g_tile: int) -> int:
+    """Row-chunk size for slot-structured kernels.
+
+    The plane pack layout stores bit-slot ``j`` of a K-tile in bit position
+    ``pb*j`` of every word-row; slot ``j`` of plane ``p`` covers local rows
+    ``[j*wt_p, (j+1)*wt_p)`` with ``wt_p = tile_k * pb / 32``.  Kernels process
+    the tile in chunks of ``cs`` rows such that every chunk lies inside a
+    single slot of every plane AND a single scale group — then each chunk is a
+    static slice + shift + mask per plane, no concatenate, no gather.
+    """
+    wt_min = tile_k // max(32 // pb for pb in plane_bits)
+    cs = min(wt_min, g_tile)
+    for pb in plane_bits:
+        wt = tile_k // (32 // pb)
+        if wt % cs:
+            raise ValueError(
+                f"chunk {cs} must divide plane slot height {wt} "
+                f"(tile_k={tile_k}, g={g_tile}, plane {pb}b)"
+            )
+    if g_tile % cs:
+        raise ValueError(f"chunk {cs} must divide group rows {g_tile}")
+    return cs
+
+
+def extract_chunk(plane_blocks, plane_bits, c: int, cs: int, tile_k: int):
+    """Integer values ``(cs, tn) int32`` for local rows [c*cs, (c+1)*cs) of a
+    K-tile, combined across planes.  All slices/shifts are static."""
+    wq = None
+    shift = 0
+    for blk, pb in zip(plane_blocks, plane_bits):
+        wt = tile_k // (32 // pb)
+        j, r0 = divmod(c * cs, wt)
+        vals = (blk[r0 : r0 + cs, :] >> (pb * j)) & ((1 << pb) - 1)
+        part = vals if shift == 0 else (vals << shift)
+        wq = part if wq is None else (wq | part)
+        shift += pb
+    return wq

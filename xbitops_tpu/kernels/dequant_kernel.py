@@ -2,15 +2,17 @@
 
 TPU-native re-design of the reference's ``DequantizeAndUnpackWeight248`` /
 ``DequantizeAndUnpackWeight3567_v2`` CUDA kernels
-(``unpack_weight_2_to_7.cu:45-120,220-330``): instead of per-thread word reads and
-shared-memory staging for word-crossing bit-widths, the weight arrives as
-power-of-two bit-planes (see ``formats.PLANE_DECOMP``) already in a sublane-strided
-layout, so each grid step is a handful of vectorized shift/mask ops, one FMA
-against broadcast group scales, and a contiguous store.
+(``unpack_weight_2_to_7.cu:45-120,220-330``): instead of per-thread word reads
+and shared-memory staging for word-crossing bit-widths, the weight arrives as
+power-of-two bit-planes (see ``formats.PLANE_DECOMP``) in a slot-structured
+layout, and each grid step walks the K-tile in group-sized row chunks — one
+static slice + shift + mask per plane per chunk, one FMA against that chunk's
+scale row (``w = wq*s - sz``, ``unpack_weight_2_to_7.cu:75``), one contiguous
+static-slice store.  No concatenates, no gathers.
 
-The kernel is HBM-bandwidth-bound by design: per (tile_k, tile_n) output tile it
-reads exactly ``tile_k * tile_n * bits / 8`` packed bytes (+ a sliver of scales) and
-writes ``tile_k * tile_n * itemsize`` bytes.
+The kernel is HBM-bandwidth-bound by design: per (tile_k, tile_n) output tile
+it reads exactly ``tile_k * tile_n * bits / 8`` packed bytes (+ a sliver of
+scales) and writes ``tile_k * tile_n * itemsize`` bytes.
 """
 
 from __future__ import annotations
@@ -27,14 +29,19 @@ from xbitops_tpu.formats import PLANE_DECOMP, QTensor
 from xbitops_tpu.kernels import common
 
 
-def _kernel(plane_bits, tile_k, gt, *refs):
+def _kernel(plane_bits, tile_k, gt, cs, *refs):
     n_planes = len(plane_bits)
     plane_refs = refs[:n_planes]
     s_ref, sz_ref, out_ref = refs[n_planes:]
-    w = common.dequant_tile(
-        [r[...] for r in plane_refs], plane_bits, s_ref[0], sz_ref[0], tile_k, gt
-    )
-    out_ref[...] = w.astype(out_ref.dtype)
+    g_tile = tile_k // gt
+    blocks = [r[...] for r in plane_refs]
+    for c in range(tile_k // cs):
+        wq = common.extract_chunk(blocks, plane_bits, c, cs, tile_k)
+        gi = (c * cs) // g_tile
+        s = s_ref[0, gi, :][None, :].astype(jnp.float32)
+        sz = sz_ref[0, gi, :][None, :].astype(jnp.float32)
+        w = wq.astype(jnp.float32) * s - sz
+        out_ref[c * cs : (c + 1) * cs, :] = w.astype(out_ref.dtype)
 
 
 @functools.partial(
@@ -51,18 +58,21 @@ def dequant_kernel(
     if interpret is None:
         interpret = common.interpret_default()
     K, N = qt.K, qt.planes[0].shape[-1]
-    tk, g = qt.tile_k, qt.group_size
+    tk = qt.tile_k
     plane_bits = PLANE_DECOMP[qt.bits]
-    tn = tile_n or common.pick_tile_n(N)
-    assert N % tn == 0, f"N={N} must be a multiple of tile_n={tn}"
+    # output block (tk, tn) dominates VMEM; keep it ~<=2 MB with double buffering
+    itemsize = jnp.dtype(out_dtype).itemsize
+    budget = max(128, (2 * 1024 * 1024) // (tk * itemsize) // 128 * 128)
+    tn = tile_n or common.pick_tile_n(N, prefer=budget)
+    gt = qt.groups_per_tile
+    gt_pad = qt.scales.shape[1]
+    cs = common.chunk_plan(plane_bits, tk, tk // gt)
 
-    grid = (K // tk, N // tn)
+    grid = (K // tk, common.cdiv(N, tn))
     in_specs = [
         pl.BlockSpec((tk // (32 // pb), tn), lambda i, j: (i, j), memory_space=pltpu.VMEM)
         for pb in plane_bits
     ]
-    gt = qt.groups_per_tile
-    gt_pad = qt.scales.shape[1]
     s_spec = pl.BlockSpec(
         (1, gt_pad, tn), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM
     )
@@ -70,7 +80,7 @@ def dequant_kernel(
 
     packed_bytes = sum(p.size * 4 for p in qt.planes)
     out = pl.pallas_call(
-        functools.partial(_kernel, plane_bits, tk, gt),
+        functools.partial(_kernel, plane_bits, tk, gt, cs),
         grid=grid,
         in_specs=in_specs,
         out_specs=pl.BlockSpec((tk, tn), lambda i, j: (i, j), memory_space=pltpu.VMEM),

@@ -52,7 +52,7 @@ def dequant_qtensor(
     else:
         w = formats.dequant_qtensor_reference(qt, out_dtype=out_dtype)
         return w
-    w = w[: qt.K_logical]
+    w = w[: qt.K_logical, : qt.shape[1]]
     if qt.perm is not None:
         w = jnp.zeros_like(w).at[qt.perm].set(w)
     return w

@@ -59,6 +59,7 @@ def qmatmul(
     if qt.K != K:  # padded packed rows: zero activations contribute nothing
         a2 = jnp.pad(a2, ((0, 0), (0, qt.K - K)))
 
+    Nl = qt.shape[1]
     if not use_kernel:
         w = formats.dequant_qtensor_reference(qt, out_dtype=jnp.float32)
         if qt.perm is not None:  # undo: reference dequant returns logical order
@@ -67,8 +68,9 @@ def qmatmul(
             a.reshape(M, K).astype(jnp.float32) if qt.perm is None else a2[:, :K].astype(jnp.float32),
             w[:K] if qt.perm is None else w,
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,  # true f32 on TPU MXU (oracle)
         )
-        return out.reshape(*lead, qt.N).astype(out_dtype)
+        return out.reshape(*lead, Nl).astype(out_dtype)
 
     tm = _pick_tile_m(M)
     Mp = common.round_up(M, tm)
@@ -84,7 +86,7 @@ def qmatmul(
         a2, qt, out_dtype=kernel_out, tile_m=tm, tile_n=tile_n,
         precise=precise, interpret=interpret,
     )
-    return out[:M].reshape(*lead, qt.N).astype(out_dtype)
+    return out[:M, :Nl].reshape(*lead, Nl).astype(out_dtype)
 
 
 def gemv(

@@ -67,6 +67,7 @@ def qtensor_pspecs(
         K=qt.K,
         K_logical=qt.K_logical,
         perm=None if qt.perm is None else P(None),
+        N_logical=qt.N_logical,
     )
 
 

@@ -64,8 +64,8 @@ def random_qtensor(
         )
 
     tile_k = tile_k or formats.default_tile_k(K, group_size, bits)
-    if K % tile_k:
-        raise ValueError(f"K={K} must be a multiple of tile_k={tile_k}")
+    K_logical = K
+    K = common.round_up(K, tile_k)
     kp, ks, ksz = jax.random.split(key, 3)
     planes = []
     for j, pb in enumerate(PLANE_DECOMP[bits]):
@@ -88,7 +88,7 @@ def random_qtensor(
         group_size=group_size,
         tile_k=tile_k,
         K=K,
-        K_logical=K,
+        K_logical=K_logical,
     )
 
 
