@@ -100,6 +100,7 @@ def test_engine_eos_and_reuse(params):
     eng = Engine(params, CFG, slots=1)
     [probe] = eng.generate([Request(prompt=[5, 9, 2], max_new_tokens=3)])
     eos = probe.tokens[1]
+    expect = probe.tokens[: probe.tokens.index(eos) + 1]  # first eos occurrence
     [probe2] = eng.generate([Request(prompt=[42], max_new_tokens=3)])
     outs = eng.generate(
         [
@@ -108,7 +109,7 @@ def test_engine_eos_and_reuse(params):
         ]
     )
     assert outs[0].finish_reason == "eos"
-    assert outs[0].tokens == probe.tokens[:2]
+    assert outs[0].tokens == expect
     assert outs[1].finish_reason == "length"
     assert outs[1].tokens == probe2.tokens
 

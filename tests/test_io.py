@@ -98,20 +98,28 @@ def test_load_autogptq_structure(ckpt_dir):
     params, cfg = load_autogptq(str(d))
     assert cfg.hidden_size == H and cfg.num_layers == LAYERS
     assert cfg.num_kv_heads == KV_HEADS and cfg.head_dim == HEAD_DIM
-    layer0 = params["layers"][0]
-    assert isinstance(layer0["wq"], formats.QTensor)
-    assert layer0["wq"].bits == BITS and layer0["wq"].group_size == GROUP
-    # act-order projection got a perm; plain ones (trivial g_idx) did not
+    layer0, layer1 = params["layers"][0], params["layers"][1]
+    # qkv fused everywhere; layer0's mlp has act-order gate -> fusion skipped
+    assert isinstance(layer0["wqkv"], formats.QTensor)
+    assert layer0["wqkv"].shape == (H, (HEADS + 2 * KV_HEADS) * HEAD_DIM)
     assert layer0["w_gate"].perm is not None
-    assert layer0["wq"].perm is None
+    assert "w_gateup" not in layer0
+    assert isinstance(layer1["w_gateup"], formats.QTensor)
+    assert layer1["w_gateup"].shape == (H, 2 * FFN)
     assert params["lm_head"].shape == (H, VOCAB)  # dense fallback, transposed
+
+    # unfused load keeps per-projection tensors
+    params_u, _ = load_autogptq(str(d), fuse=False)
+    l0 = params_u["layers"][0]
+    assert isinstance(l0["wq"], formats.QTensor) and l0["wq"].perm is None
+    assert l0["wq"].bits == BITS and l0["wq"].group_size == GROUP
 
 
 def test_load_autogptq_dequant_parity(ckpt_dir):
     """Loaded QTensor dequantizes exactly like the GPTQ interchange oracle with
     the AutoGPTQ zero-1 convention (add_zero_bias=1)."""
     d, golden = ckpt_dir
-    params, cfg = load_autogptq(str(d))
+    params, cfg = load_autogptq(str(d), fuse=False)
     qweight, s16, qzeros = golden["model.layers.0.self_attn.q_proj"]
     want = np.asarray(
         formats.dequant_reference(
@@ -142,7 +150,7 @@ def test_load_autogptq_tp(ckpt_dir):
     params, cfg = load_autogptq(str(d), tp=2)
     assert formats.is_row_sharded(params["layers"][0]["wo"])
     assert formats.is_row_sharded(params["layers"][0]["w_down"])
-    assert not formats.is_row_sharded(params["layers"][0]["wq"])
+    assert not formats.is_row_sharded(params["layers"][0]["wqkv"])
     # shard-stacked dequant equals the unsharded weight, shard by shard
     p1, _ = load_autogptq(str(d), tp=1)
     whole = np.asarray(

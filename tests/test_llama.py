@@ -95,3 +95,47 @@ def test_tp_matches_single_chip(q8_params):
         np.asarray(step_logits, np.float32), np.asarray(ref_step, np.float32),
         rtol=5e-2, atol=5e-2,
     )
+
+
+def test_fused_matches_unfused():
+    """Fusing q|k|v and gate|up via concat_qtensors is a layout change only:
+    prefill logits must match the unfused model (same quantized values)."""
+    from xbitops_tpu import formats
+
+    params = llama.init_params(
+        jax.random.PRNGKey(7), CFG, bits=8, group_size=32, fuse=False
+    )
+    fused = dict(params, layers=[])
+    for layer in params["layers"]:
+        nl = {k: v for k, v in layer.items()
+              if k not in ("wq", "wk", "wv", "w_gate", "w_up")}
+        nl["wqkv"] = formats.concat_qtensors([layer["wq"], layer["wk"], layer["wv"]])
+        nl["w_gateup"] = formats.concat_qtensors([layer["w_gate"], layer["w_up"]])
+        fused["layers"].append(nl)
+
+    tokens = jax.random.randint(jax.random.PRNGKey(8), (2, 5), 0, CFG.vocab_size)
+    la, _ = llama.prefill(params, CFG, tokens, llama.KVCache.init(CFG, 2))
+    lb, _ = llama.prefill(fused, CFG, tokens, llama.KVCache.init(CFG, 2))
+    np.testing.assert_allclose(
+        np.asarray(la, np.float32), np.asarray(lb, np.float32), rtol=2e-2, atol=2e-2
+    )
+
+
+def test_fused_tp_matches_single_chip():
+    """Fused projections under 2-way TP (interleaved pack) == single chip."""
+    mesh = meshlib.make_mesh((1, 2), ("data", "model"))
+    single = llama.init_params(jax.random.PRNGKey(9), CFG, bits=8, group_size=32,
+                               fuse=True, tp=1)
+    tp_params = llama.init_params(jax.random.PRNGKey(9), CFG, bits=8, group_size=32,
+                                  fuse=True, tp=2)
+    B, T = 2, 4
+    tokens = jax.random.randint(jax.random.PRNGKey(10), (B, T), 0, CFG.vocab_size)
+    ref_logits, _ = llama.prefill(single, CFG, tokens, llama.KVCache.init(CFG, B))
+
+    params_s = model_tp.shard_params(tp_params, mesh)
+    cache_s = model_tp.shard_cache(llama.KVCache.init(CFG, B), mesh)
+    tp_logits, _ = model_tp.tp_prefill(params_s, CFG, mesh, tokens, cache_s)
+    np.testing.assert_allclose(
+        np.asarray(tp_logits, np.float32), np.asarray(ref_logits, np.float32),
+        rtol=5e-2, atol=5e-2,
+    )

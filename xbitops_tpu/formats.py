@@ -61,6 +61,7 @@ __all__ = [
     "gptq_unpack_weight",
     "gptq_unpack_zeros",
     "dequant_reference",
+    "concat_qtensors",
     "pack_planes",
     "unpack_planes_reference",
     "from_gptq",
@@ -600,6 +601,53 @@ def make_row_sharded_qtensor(
 
 def is_row_sharded(qt: QTensor) -> bool:
     return qt.planes[0].ndim == 3
+
+
+def concat_qtensors(qts: Sequence[QTensor], order: Optional[np.ndarray] = None) -> QTensor:
+    """Concatenate QTensors along N (shared K): fuses e.g. q/k/v projections
+    into one matmul.  All static metadata must match; act-order tensors can't
+    fuse (each carries its own row permutation).  ``order`` optionally permutes
+    the fused columns (e.g. per-shard interleaving for tensor parallelism).
+    """
+    first = qts[0]
+    for qt in qts[1:]:
+        same = (
+            qt.bits == first.bits and qt.group_size == first.group_size
+            and qt.tile_k == first.tile_k and qt.K == first.K
+            and qt.K_logical == first.K_logical
+        )
+        if not same:
+            raise ValueError("concat_qtensors: mismatched quantization metadata")
+        if qt.perm is not None or first.perm is not None:
+            raise ValueError("concat_qtensors: act-order tensors cannot be fused")
+
+    def cat(get):
+        parts = []
+        for qt in qts:
+            x = get(qt)
+            parts.append(x if qt.N_logical is None else x[..., : qt.N_logical])
+        out = jnp.concatenate(parts, axis=-1)
+        if order is not None:
+            out = jnp.take(out, jnp.asarray(order), axis=-1)
+        return out
+
+    planes = tuple(cat(lambda q, i=i: q.planes[i]) for i in range(len(first.planes)))
+    scales = cat(lambda q: q.scales)
+    scale_zeros = cat(lambda q: q.scale_zeros)
+    N = planes[0].shape[-1]
+    N_logical = None
+    Np = _round_up(N, 128)
+    if Np != N:
+        N_logical = N
+        pad = [(0, 0)] * (planes[0].ndim - 1) + [(0, Np - N)]
+        planes = tuple(jnp.pad(p, pad) for p in planes)
+        scales = jnp.pad(scales, pad, constant_values=1)
+        scale_zeros = jnp.pad(scale_zeros, pad)
+    return QTensor(
+        planes=planes, scales=scales, scale_zeros=scale_zeros,
+        bits=first.bits, group_size=first.group_size, tile_k=first.tile_k,
+        K=first.K, K_logical=first.K_logical, N_logical=N_logical,
+    )
 
 
 def _expand_tiled_scales(ts: jax.Array, qt: QTensor) -> jax.Array:

@@ -105,6 +105,23 @@ def _to_qtensor(
     )
 
 
+def _try_fuse(parts, sizes, tp):
+    """Fuse column-parallel QTensors ([q|k|v] or [gate|up]) into one matmul,
+    per-shard interleaved under TP.  Returns None when fusion isn't possible
+    (dense fallback weights or act-order perms)."""
+    from xbitops_tpu.models.llama import interleave_order
+
+    if not all(isinstance(p, formats.QTensor) for p in parts):
+        return None
+    if any(p.perm is not None for p in parts):
+        return None
+    metas = {(p.bits, p.group_size, p.tile_k, p.K, p.K_logical) for p in parts}
+    if len(metas) != 1:
+        return None
+    order = interleave_order(sizes, tp) if tp > 1 else None
+    return formats.concat_qtensors(parts, order=order)
+
+
 def load_autogptq(
     path: str,
     tp: int = 1,
@@ -112,12 +129,15 @@ def load_autogptq(
     add_zero_bias: Optional[int] = None,
     dtype=jnp.bfloat16,
     scale_store_dtype=jnp.float32,
+    fuse: bool = True,
 ) -> Tuple[dict, LlamaConfig]:
     """Load an AutoGPTQ Llama checkpoint directory into (params, config).
 
     ``tp > 1`` repacks the row-parallel projections (o_proj, down_proj)
     shard-stacked for a ``tp``-way model axis (``formats.make_row_sharded_
     qtensor``); column-parallel tensors shard at placement time, no repack.
+    ``fuse`` merges q|k|v and gate|up into single fused matmuls where legal
+    (skipped per-layer for act-order or dense-fallback projections).
     """
     p = Path(path)
     hf_cfg = json.loads((p / "config.json").read_text())
@@ -144,18 +164,34 @@ def load_autogptq(
         # HF stores [out, in] — transpose to [in, out]
         return jnp.asarray(tensors[f"{prefix}.weight"]).T.astype(dtype)
 
+    qdim = cfg.num_heads * cfg.head_dim
+    kvdim = cfg.num_kv_heads * cfg.head_dim
     layers = []
     for i in range(cfg.num_layers):
         pre = f"model.layers.{i}"
+        wq_ = q(f"{pre}.self_attn.q_proj", h)
+        wk_ = q(f"{pre}.self_attn.k_proj", h)
+        wv_ = q(f"{pre}.self_attn.v_proj", h)
+        wgate = q(f"{pre}.mlp.gate_proj", h)
+        wup = q(f"{pre}.mlp.up_proj", h)
+        attn_mlp = {}
+        if fuse:
+            wqkv = _try_fuse([wq_, wk_, wv_], (qdim, kvdim, kvdim), tp)
+            wgu = _try_fuse([wgate, wup], (cfg.intermediate_size,) * 2, tp)
+            if wqkv is not None:
+                attn_mlp["wqkv"] = wqkv
+            else:
+                attn_mlp.update(wq=wq_, wk=wk_, wv=wv_)
+            if wgu is not None:
+                attn_mlp["w_gateup"] = wgu
+            else:
+                attn_mlp.update(w_gate=wgate, w_up=wup)
+        else:
+            attn_mlp.update(wq=wq_, wk=wk_, wv=wv_, w_gate=wgate, w_up=wup)
         layers.append(
             dict(
-                wq=q(f"{pre}.self_attn.q_proj", h),
-                wk=q(f"{pre}.self_attn.k_proj", h),
-                wv=q(f"{pre}.self_attn.v_proj", h),
-                wo=q(f"{pre}.self_attn.o_proj", cfg.num_heads * cfg.head_dim,
-                     row_parallel=True),
-                w_gate=q(f"{pre}.mlp.gate_proj", h),
-                w_up=q(f"{pre}.mlp.up_proj", h),
+                **attn_mlp,
+                wo=q(f"{pre}.self_attn.o_proj", qdim, row_parallel=True),
                 w_down=q(f"{pre}.mlp.down_proj", cfg.intermediate_size,
                          row_parallel=True),
                 ln_attn=jnp.asarray(tensors[f"{pre}.input_layernorm.weight"]).astype(

@@ -55,7 +55,6 @@ def _kernel(plane_bits, tile_k, gt, cs, compute_dtype, *refs):
     def _():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    tm = a_ref.shape[0]
     g_tile = tile_k // gt  # rows per scale row within this tile
     blocks = [r[...] for r in plane_refs]
     a = a_ref[...]
@@ -69,20 +68,21 @@ def _kernel(plane_bits, tile_k, gt, cs, compute_dtype, *refs):
     for c in range(tile_k // cs):
         wq = common.extract_chunk(blocks, plane_bits, c, cs, tile_k)
         w = wq.astype(compute_dtype)
-        a_c = a[:, c * cs : (c + 1) * cs].astype(compute_dtype)
-        d = jnp.dot(a_c, w, preferred_element_type=jnp.float32, precision=prec)
+        a_c = a[:, c * cs : (c + 1) * cs]
+        d = jnp.dot(
+            a_c.astype(compute_dtype), w,
+            preferred_element_type=jnp.float32, precision=prec,
+        )
         gi = (c * cs) // g_tile
-        total = total + d * s_ref[0, gi, :][None, :].astype(jnp.float32)
-
-    # zero-point term: per-group activation sums against scale-zero rows.
-    # Always true f32 — group sums grow ~sqrt(g) and bf16 rounding here would
-    # be the dominant error term (a (tm, gt) x (gt, tn) dot, cost-free).
-    asum = jnp.sum(a.astype(jnp.float32).reshape(tm, gt, g_tile), axis=2)
-    total = total - jnp.dot(
-        asum, sz_ref[0, :gt, :].astype(jnp.float32),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
+        # out += s_g * (a_g @ wq_g) - sum(a_g) * sz_g, the zero term in true
+        # f32 on the VPU (chunk sums grow ~sqrt(g); bf16 rounding here would
+        # be the dominant error)
+        asum_c = jnp.sum(a_c.astype(jnp.float32), axis=1, keepdims=True)
+        total = (
+            total
+            + d * s_ref[0, gi, :][None, :].astype(jnp.float32)
+            - asum_c * sz_ref[0, gi, :][None, :].astype(jnp.float32)
+        )
     acc_ref[...] += total
 
     @pl.when(k == pl.num_programs(2) - 1)

@@ -72,6 +72,22 @@ class LlamaConfig:
 # --- parameter pytrees (plain dicts for orbax-friendliness) ---
 
 
+def interleave_order(sizes, tp: int):
+    """Column order turning a concat ``[A|B|C]`` into per-shard interleaving
+    ``[A_0|B_0|C_0|A_1|B_1|C_1|...]`` so a fused column-parallel weight splits
+    into self-consistent per-shard ``[q_s|k_s|v_s]`` blocks (Megatron fused-QKV
+    layout)."""
+    import numpy as np
+
+    offs = np.cumsum([0] + list(sizes[:-1]))
+    idx = []
+    for s in range(tp):
+        for off, sz in zip(offs, sizes):
+            per = sz // tp
+            idx.extend(range(off + s * per, off + (s + 1) * per))
+    return np.asarray(idx, np.int32)
+
+
 def init_params(
     key: jax.Array,
     cfg: LlamaConfig,
@@ -79,11 +95,18 @@ def init_params(
     group_size: int = 128,
     dtype=jnp.bfloat16,
     tp: int = 1,
+    fuse: bool = True,
+    act_order: bool = False,
 ) -> dict:
     """Random-init a model; projections packed to ``bits`` (None = dense bf16).
 
     ``tp > 1`` packs the row-parallel weights (wo, w_down) shard-stacked for a
-    ``tp``-way mesh (see ``formats.make_row_sharded_qtensor``)."""
+    ``tp``-way mesh (see ``formats.make_row_sharded_qtensor``).  ``fuse`` packs
+    q|k|v and gate|up as single fused matmuls (per-shard interleaved under TP).
+    ``act_order`` quantizes rows in salience order (exllama-style permuted
+    groups; incompatible with row-parallel sharding, so requires tp == 1)."""
+    if act_order and tp > 1:
+        raise NotImplementedError("act_order + tensor parallelism")
 
     def dense(key, shape, scale):
         return (jax.random.normal(key, shape, jnp.float32) * scale).astype(jnp.float32)
@@ -92,9 +115,19 @@ def init_params(
         w = dense(key, (kdim, ndim), scale)
         if bits is None:
             return w.astype(dtype)
+        row_shards = tp if (row_parallel and tp > 1) else 1
         return quantize_array(
-            w, bits, group_size, row_shards=tp if (row_parallel and tp > 1) else 1
+            w, bits, group_size, row_shards=row_shards,
+            act_order=act_order and row_shards == 1,
         )
+
+    def q_fused(key, kdim, ndims, scale):
+        w = dense(key, (kdim, sum(ndims)), scale)
+        if tp > 1:
+            w = w[:, interleave_order(ndims, tp)]
+        if bits is None:
+            return w.astype(dtype)
+        return quantize_array(w, bits, group_size, act_order=act_order and tp == 1)
 
     h, ffn = cfg.hidden_size, cfg.intermediate_size
     qdim = cfg.num_heads * cfg.head_dim
@@ -104,14 +137,23 @@ def init_params(
     layers = []
     for i in range(cfg.num_layers):
         k = keys[i * 7 : (i + 1) * 7]
-        layers.append(
-            dict(
+        if fuse:
+            attn_mlp = dict(
+                wqkv=q_fused(k[0], h, (qdim, kvdim, kvdim), s),
+                w_gateup=q_fused(k[4], h, (ffn, ffn), s),
+            )
+        else:
+            attn_mlp = dict(
                 wq=q(k[0], h, qdim, s),
                 wk=q(k[1], h, kvdim, s),
                 wv=q(k[2], h, kvdim, s),
-                wo=q(k[3], qdim, h, s, row_parallel=True),
                 w_gate=q(k[4], h, ffn, s),
                 w_up=q(k[5], h, ffn, s),
+            )
+        layers.append(
+            dict(
+                **attn_mlp,
+                wo=q(k[3], qdim, h, s, row_parallel=True),
                 w_down=q(k[6], ffn, h, ffn ** -0.5, row_parallel=True),
                 ln_attn=jnp.ones((h,), jnp.float32),
                 ln_mlp=jnp.ones((h,), jnp.float32),
@@ -245,11 +287,18 @@ def _block(
     """
     B, T, _ = x.shape
     H, Hkv, D = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    qdim, kvdim = H * D, Hkv * D
 
     hx = rms_norm(x, layer["ln_attn"], cfg.rms_eps)
-    q = rt.col(hx, layer["wq"]).reshape(B, T, H, D)
-    k = rt.col(hx, layer["wk"]).reshape(B, T, Hkv, D)
-    v = rt.col(hx, layer["wv"]).reshape(B, T, Hkv, D)
+    if "wqkv" in layer:  # fused projection: one packed matmul for q|k|v
+        qkv = rt.col(hx, layer["wqkv"])
+        q = qkv[..., :qdim].reshape(B, T, H, D)
+        k = qkv[..., qdim : qdim + kvdim].reshape(B, T, Hkv, D)
+        v = qkv[..., qdim + kvdim :].reshape(B, T, Hkv, D)
+    else:
+        q = rt.col(hx, layer["wq"]).reshape(B, T, H, D)
+        k = rt.col(hx, layer["wk"]).reshape(B, T, Hkv, D)
+        v = rt.col(hx, layer["wv"]).reshape(B, T, Hkv, D)
     q = _rope(q, positions, cfg.rope_theta)
     k = _rope(k, positions, cfg.rope_theta)
 
@@ -267,8 +316,12 @@ def _block(
     x = x + rt.row(att.reshape(B, T, H * D), layer["wo"])
 
     hx = rms_norm(x, layer["ln_mlp"], cfg.rms_eps)
-    gate = rt.col(hx, layer["w_gate"])
-    up = rt.col(hx, layer["w_up"])
+    if "w_gateup" in layer:  # fused projection: one packed matmul for gate|up
+        gu = rt.col(hx, layer["w_gateup"])
+        gate, up = gu[..., : cfg.intermediate_size], gu[..., cfg.intermediate_size :]
+    else:
+        gate = rt.col(hx, layer["w_gate"])
+        up = rt.col(hx, layer["w_up"])
     act = (jax.nn.silu(gate.astype(jnp.float32)) * up.astype(jnp.float32)).astype(x.dtype)
     x = x + rt.row(act, layer["w_down"])
     return x, k_cache, v_cache

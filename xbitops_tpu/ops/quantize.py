@@ -27,13 +27,28 @@ def quantize_array(
     scale_store_dtype=jnp.float32,
     scale_round_dtype=None,
     row_shards: int = 1,
+    act_order: bool = False,
 ) -> QTensor:
     """Quantize ``w[K, N]`` to ``bits`` with per-group scale/zero, returning the
     packed TPU layout.  ``scale_round_dtype`` (e.g. fp16) optionally rounds scales
     through a checkpoint dtype first, for parity with fp16 GPTQ checkpoints.
     ``row_shards > 1`` packs for row-parallel TP (stacked shard leaves — see
-    ``formats.make_row_sharded_qtensor``)."""
+    ``formats.make_row_sharded_qtensor``).
+
+    ``act_order`` quantizes rows in descending-salience order so groups span
+    similar-magnitude rows (the GPTQ desc_act idea; real checkpoints carry the
+    measured order as ``g_idx`` through :func:`formats.from_gptq`).  The row
+    permutation is stored on the QTensor and activations are gathered at
+    matmul time — kernels stay gather-free (exllama's approach to the
+    reference's disabled act-order kernel, ``quant_cuda_kernel.cu:257-336``)."""
     K, N = w.shape
+    perm = None
+    if act_order:
+        if row_shards > 1:
+            raise NotImplementedError("act_order + row-parallel sharding")
+        salience = jnp.sum(jnp.abs(w.astype(jnp.float32)), axis=1)
+        perm = jnp.argsort(-salience).astype(jnp.int32)
+        w = jnp.take(w, perm, axis=0)
     Kp = common.round_up(K, group_size)
     wf = jnp.pad(w.astype(jnp.float32), ((0, Kp - K), (0, 0)))
     G = Kp // group_size
@@ -61,5 +76,5 @@ def quantize_array(
         )
     return formats.make_qtensor(
         wq, scale, zero, bits, group_size, add_zero_bias=0, tile_k=tile_k,
-        scale_store_dtype=scale_store_dtype,
+        perm=perm, scale_store_dtype=scale_store_dtype,
     )

@@ -32,23 +32,23 @@ def _w_spec(w, col=None, row=None):
     return P(row, col)  # dense fallback
 
 
+_COL_KEYS = {"wq", "wk", "wv", "wqkv", "w_gate", "w_up", "w_gateup"}
+_ROW_KEYS = {"wo", "w_down"}
+
+
 def param_pspecs(params: dict, axis: str = "model") -> dict:
-    """PartitionSpec pytree mirroring ``init_params`` output."""
+    """PartitionSpec pytree mirroring ``init_params`` output (fused or not)."""
     layers = []
     for layer in params["layers"]:
-        layers.append(
-            dict(
-                wq=_w_spec(layer["wq"], col=axis),
-                wk=_w_spec(layer["wk"], col=axis),
-                wv=_w_spec(layer["wv"], col=axis),
-                wo=_w_spec(layer["wo"], row=axis),
-                w_gate=_w_spec(layer["w_gate"], col=axis),
-                w_up=_w_spec(layer["w_up"], col=axis),
-                w_down=_w_spec(layer["w_down"], row=axis),
-                ln_attn=P(None),
-                ln_mlp=P(None),
-            )
-        )
+        specs = {}
+        for key, w in layer.items():
+            if key in _COL_KEYS:
+                specs[key] = _w_spec(w, col=axis)
+            elif key in _ROW_KEYS:
+                specs[key] = _w_spec(w, row=axis)
+            else:
+                specs[key] = P(None)
+        layers.append(specs)
     return dict(
         embed=P(None, None),
         lm_head=_w_spec(params["lm_head"], col=axis),

@@ -99,9 +99,12 @@ def random_llama_params(
     group_size: int = 128,
     dtype=jnp.bfloat16,
     tp: int = 1,
+    fuse: bool = True,
 ) -> dict:
     """Random Llama params fast: packed projections from random bits
-    (``bits=None`` → dense ``dtype`` weights, the a16w16 baseline model)."""
+    (``bits=None`` → dense ``dtype`` weights, the a16w16 baseline model).
+    ``fuse`` packs q|k|v and gate|up as single matmuls (random content, so no
+    interleaving is needed for TP)."""
 
     def q(key, kdim, ndim, row_parallel=False):
         if bits is None:
@@ -119,14 +122,23 @@ def random_llama_params(
     layers = []
     for i in range(cfg.num_layers):
         k = keys[i * 7 : (i + 1) * 7]
-        layers.append(
-            dict(
+        if fuse:
+            attn_mlp = dict(
+                wqkv=q(k[0], h, qdim + 2 * kvdim),
+                w_gateup=q(k[4], h, 2 * ffn),
+            )
+        else:
+            attn_mlp = dict(
                 wq=q(k[0], h, qdim),
                 wk=q(k[1], h, kvdim),
                 wv=q(k[2], h, kvdim),
-                wo=q(k[3], qdim, h, row_parallel=True),
                 w_gate=q(k[4], h, ffn),
                 w_up=q(k[5], h, ffn),
+            )
+        layers.append(
+            dict(
+                **attn_mlp,
+                wo=q(k[3], qdim, h, row_parallel=True),
                 w_down=q(k[6], ffn, h, row_parallel=True),
                 ln_attn=jnp.ones((h,), jnp.float32),
                 ln_mlp=jnp.ones((h,), jnp.float32),
