@@ -139,3 +139,41 @@ def test_fused_tp_matches_single_chip():
         np.asarray(tp_logits, np.float32), np.asarray(ref_logits, np.float32),
         rtol=5e-2, atol=5e-2,
     )
+
+
+def test_stacked_layers_match_list(q8_params):
+    """scan-over-layers (stacked params) == per-layer python loop."""
+    stacked = llama.stack_layers(q8_params)
+    B, T = 2, 5
+    tokens = jax.random.randint(jax.random.PRNGKey(11), (B, T), 0, CFG.vocab_size)
+    la, ca = llama.prefill(q8_params, CFG, tokens, llama.KVCache.init(CFG, B))
+    lb, cb = llama.prefill(stacked, CFG, tokens, llama.KVCache.init(CFG, B))
+    # scan vs unrolled compile to different fusions: allow bf16 rounding skew
+    np.testing.assert_allclose(
+        np.asarray(la, np.float32), np.asarray(lb, np.float32), rtol=3e-2, atol=3e-2
+    )
+    np.testing.assert_array_equal(np.asarray(ca.lengths), np.asarray(cb.lengths))
+    # decode continues identically from the stacked cache
+    nxt = jnp.argmax(lb[:, -1], -1).astype(jnp.int32)
+    ls, _ = llama.decode_step(stacked, CFG, nxt, cb)
+    lr, _ = llama.decode_step(q8_params, CFG, nxt, ca)
+    np.testing.assert_allclose(
+        np.asarray(ls, np.float32), np.asarray(lr, np.float32), rtol=3e-2, atol=3e-2
+    )
+
+
+def test_stacked_tp_prefill():
+    """Stacked params shard and run under TP."""
+    mesh = meshlib.make_mesh((1, 2), ("data", "model"))
+    params = llama.init_params(jax.random.PRNGKey(12), CFG, bits=8, group_size=32, tp=2)
+    stacked = llama.stack_layers(params)
+    params_s = model_tp.shard_params(stacked, mesh)
+    B, T = 2, 4
+    tokens = jax.random.randint(jax.random.PRNGKey(13), (B, T), 0, CFG.vocab_size)
+    cache_s = model_tp.shard_cache(llama.KVCache.init(CFG, B), mesh)
+    logits, _ = model_tp.tp_prefill(params_s, CFG, mesh, tokens, cache_s)
+    single = llama.init_params(jax.random.PRNGKey(12), CFG, bits=8, group_size=32, tp=1)
+    ref, _ = llama.prefill(single, CFG, tokens, llama.KVCache.init(CFG, B))
+    np.testing.assert_allclose(
+        np.asarray(logits, np.float32), np.asarray(ref, np.float32), rtol=5e-2, atol=5e-2
+    )

@@ -358,14 +358,29 @@ def forward(
         s_idx = jnp.arange(S)[None, None, :]
         mask = s_idx <= positions[:, :, None]
 
-    new_k, new_v = [], []
-    for li, layer in enumerate(params["layers"]):
-        x, kc, vc = _block(
-            layer, cfg, rt, x, positions, cache.k[li], cache.v[li], mask,
-            slot_ids=slot_ids, self_attend=self_attend,
-        )
-        new_k.append(kc)
-        new_v.append(vc)
+    layers = params["layers"]
+    if isinstance(layers, (list, tuple)):
+        new_k, new_v = [], []
+        for li, layer in enumerate(layers):
+            x, kc, vc = _block(
+                layer, cfg, rt, x, positions, cache.k[li], cache.v[li], mask,
+                slot_ids=slot_ids, self_attend=self_attend,
+            )
+            new_k.append(kc)
+            new_v.append(vc)
+        new_k, new_v = jnp.stack(new_k), jnp.stack(new_v)
+    else:
+        # stacked layers (see stack_layers): one compiled block, scanned.
+        # Compile time and program size stay O(1) in depth — essential at 7B+.
+        def body(x, per_layer):
+            layer, kc, vc = per_layer
+            x, kc, vc = _block(
+                layer, cfg, rt, x, positions, kc, vc, mask,
+                slot_ids=slot_ids, self_attend=self_attend,
+            )
+            return x, (kc, vc)
+
+        x, (new_k, new_v) = jax.lax.scan(body, x, (layers, cache.k, cache.v))
 
     x = rms_norm(x, params["ln_final"], cfg.rms_eps)
     logits = _linear(x, params["lm_head"])
@@ -374,10 +389,28 @@ def forward(
     valid_next = jnp.where(positions < S, positions + 1, 0)
     rows = slot_ids if slot_ids is not None else jnp.arange(B)
     new_cache = KVCache(
-        k=jnp.stack(new_k), v=jnp.stack(new_v),
+        k=new_k, v=new_v,
         lengths=cache.lengths.at[rows].max(jnp.max(valid_next, axis=1)),
     )
     return logits, new_cache
+
+
+def stack_layers(params: dict) -> dict:
+    """Stack the per-layer param list into one pytree with a leading layer
+    axis, switching ``forward`` to a ``lax.scan`` over layers (O(1) compile
+    time in depth).  Requires every layer to have identical structure (true
+    unless act-order fusion was skipped for some layers only).
+
+    Trade-off (measured, 7B on v5e): compile 48s -> 2.3s, but decode
+    12.3 ms/step vs 7.9 unrolled — XLA cannot fuse scan's weight
+    dynamic-slice into a Pallas custom call, so each layer's packed planes
+    are copied once per step.  Use for fast iteration / very deep models;
+    leave unrolled for peak decode throughput."""
+    layers = params["layers"]
+    if not isinstance(layers, (list, tuple)):
+        return params
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
+    return dict(params, layers=stacked)
 
 
 def decode_step(params, cfg, tokens, cache, rt=None, active=None):

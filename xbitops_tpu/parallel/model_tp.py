@@ -36,19 +36,30 @@ _COL_KEYS = {"wq", "wk", "wv", "wqkv", "w_gate", "w_up", "w_gateup"}
 _ROW_KEYS = {"wo", "w_down"}
 
 
+def _layer_pspecs(layer: dict, axis: str) -> dict:
+    specs = {}
+    for key, w in layer.items():
+        if key in _COL_KEYS:
+            specs[key] = _w_spec(w, col=axis)
+        elif key in _ROW_KEYS:
+            specs[key] = _w_spec(w, row=axis)
+        else:
+            specs[key] = P(None)
+    return specs
+
+
 def param_pspecs(params: dict, axis: str = "model") -> dict:
-    """PartitionSpec pytree mirroring ``init_params`` output (fused or not)."""
-    layers = []
-    for layer in params["layers"]:
-        specs = {}
-        for key, w in layer.items():
-            if key in _COL_KEYS:
-                specs[key] = _w_spec(w, col=axis)
-            elif key in _ROW_KEYS:
-                specs[key] = _w_spec(w, row=axis)
-            else:
-                specs[key] = P(None)
-        layers.append(specs)
+    """PartitionSpec pytree mirroring ``init_params`` output (fused or not,
+    per-layer list or stacked — stacked leaves get a leading replicated axis)."""
+    layer_params = params["layers"]
+    if isinstance(layer_params, (list, tuple)):
+        layers = [_layer_pspecs(layer, axis) for layer in layer_params]
+    else:
+        layer0 = jax.tree.map(lambda x: x[0], layer_params)
+        base = _layer_pspecs(layer0, axis)
+        layers = jax.tree.map(
+            lambda s: P(None, *s), base, is_leaf=lambda x: isinstance(x, P)
+        )
     return dict(
         embed=P(None, None),
         lm_head=_w_spec(params["lm_head"], col=axis),
