@@ -161,3 +161,18 @@ def test_sample_tokens_modes():
     # high temperature draws valid ids
     hot = sample_tokens(logits, jax.random.PRNGKey(3), jnp.full(2, 100.0))
     assert all(0 <= int(t) < 4 for t in hot)
+
+
+def test_engine_burst_matches_single_step(params):
+    """decode_burst=4 (device-side scan) produces identical greedy tokens to
+    burst=1, including requests that stop mid-burst (eos) and slot refills."""
+    reqs = lambda: [
+        Request(prompt=PROMPTS[0], max_new_tokens=6),
+        Request(prompt=PROMPTS[1], max_new_tokens=3),
+        Request(prompt=PROMPTS[2], max_new_tokens=5),
+    ]
+    a = Engine(params, CFG, slots=2, prefill_buckets=[4, 8]).generate(reqs())
+    b = Engine(params, CFG, slots=2, prefill_buckets=[4, 8],
+               decode_burst=4).generate(reqs())
+    assert [c.tokens for c in a] == [c.tokens for c in b]
+    assert [c.finish_reason for c in a] == [c.finish_reason for c in b]

@@ -74,12 +74,18 @@ class Engine:
         top_p: float = 1.0,
         seed: int = 0,
         cache_dtype=jnp.bfloat16,
+        decode_burst: int = 1,
     ):
+        """``decode_burst`` chains that many decode steps in one device
+        dispatch (a ``lax.scan``): host<->device round-trip latency amortizes
+        over the burst, at the cost of admission granularity and of discarding
+        any tokens a slot sampled after its stop condition."""
         self.cfg = cfg
         self.slots = slots
         self.mesh = mesh
         self.axis = axis
         self.buckets = sorted(prefill_buckets or default_buckets(cfg.max_seq_len))
+        self.decode_burst = max(1, decode_burst)
         self._key = jax.random.PRNGKey(seed)
         self._next_id = 0
 
@@ -125,11 +131,27 @@ class Engine:
             )
             return tok[0], cache
 
+        burst = self.decode_burst
+
         @partial(jax.jit, donate_argnums=(1,))
         def decode_fn(params, cache, tokens, active, key, temps):
-            logits, cache = base_decode(params, cache, tokens, active)
-            toks = sampling.sample_tokens(logits, key, temps, top_k, top_p)
-            return jnp.where(active, toks, 0), cache
+            """Run `burst` chained decode steps; returns tokens [burst, B].
+
+            Slots that hit a stop condition mid-burst keep decoding garbage
+            (the host discards it); out-of-capacity positions self-mask via
+            the drop-scatter semantics in models/llama.py.
+            """
+
+            def body(carry, k):
+                toks, cache = carry
+                logits, cache = base_decode(params, cache, toks, active)
+                nxt = sampling.sample_tokens(logits, k, temps, top_k, top_p)
+                nxt = jnp.where(active, nxt, 0)
+                return (nxt, cache), nxt
+
+            keys = jax.random.split(key, burst)
+            (last, cache), seq = jax.lax.scan(body, (tokens, cache), keys)
+            return seq, cache
 
         self._prefill_fn = prefill_fn
         self._decode_fn = decode_fn
@@ -221,9 +243,12 @@ class Engine:
                 self.params, self.cache, jnp.asarray(cur_tok),
                 jnp.asarray(active), self._split_key(), jnp.asarray(temps),
             )
-            toks = np.asarray(jax.device_get(toks_dev))
-            for b in range(self.slots):
-                if active[b]:
-                    accept(b, int(toks[b]))
+            toks = np.asarray(jax.device_get(toks_dev))  # [burst, B]
+            for step in range(toks.shape[0]):
+                for b in range(self.slots):
+                    if active[b]:
+                        accept(b, int(toks[step, b]))
+                if not active.any():
+                    break  # rest of the burst is garbage for every slot
 
         return sorted(done, key=lambda c: c.id)
