@@ -89,6 +89,25 @@ class Engine:
         self._key = jax.random.PRNGKey(seed)
         self._next_id = 0
 
+        # stacked layers: O(1) compile in depth; the fused kernel indexes the
+        # stacked planes in place (no per-step copy). Falls back to the layer
+        # list when layers aren't structurally identical (mixed fusion) or
+        # contain act-order perms (stacked gather unsupported).
+        from xbitops_tpu.formats import QTensor
+
+        try:
+            stacked = llama.stack_layers(params)
+            qts = [
+                x for x in jax.tree.leaves(
+                    stacked["layers"], is_leaf=lambda v: isinstance(v, QTensor)
+                )
+                if isinstance(x, QTensor)
+            ]
+            if not any(q.perm is not None for q in qts):
+                params = stacked
+        except (ValueError, TypeError):
+            pass
+
         cache = llama.KVCache.init(cfg, slots, dtype=cache_dtype)
         if mesh is not None:
             from xbitops_tpu.parallel import model_tp

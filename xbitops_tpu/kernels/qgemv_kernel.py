@@ -11,22 +11,27 @@ step processes one ``(tile_k, tile_n)`` packed block in group-sized row chunks:
 - the raw integer chunk goes straight to the MXU in the compute dtype
   (integers <= 255 are exact in bf16) and the **group scale is applied to the
   accumulated dot output**, not per-element:
-      out = sum_g s_g * (a_g @ wq_g) - (sum_k in g a_k) @ sz_g
+      out = sum_g s_g * (a_g @ wq_g) - (sum_k in g a_k) * sz_g
   which is algebraically the reference's ``sum a*(wq*s - sz)``
   (``unpack_weight_2_to_7.cu:75``) with strictly fewer roundings (f32 all the
-  way after the dot);
-- the zero-point term is one extra tiny dot per grid step: per-group activation
-  sums ``(tm, gt)`` against the scale-zeros rows ``(gt, tn)``.
+  way after the dot).
 
 Unlike the reference — which supports only bits=4 / group_size=128
 (``gemv_w4a16_pt.cu:152-155``) — every bit-width 1..8 and any group size >= 16
 runs through this same kernel.
 
+**Stacked (per-layer) mode**: with ``layer_idx`` given, the packed arrays
+carry a leading layer axis and the kernel indexes it through a scalar-prefetch
+argument feeding the BlockSpec index maps — the weight slice is DMA'd straight
+from the stacked HBM buffer.  This is what makes ``lax.scan`` over transformer
+layers free: XLA cannot fuse a scan's dynamic-slice into a custom call, so
+without this every layer's weights would be copied once per step (measured
++55% step time at 7B).
+
 Decode (M=1..64) is HBM-bandwidth-bound on the packed weight stream; Pallas's
 automatic grid pipelining double-buffers the plane blocks so the MXU/VPU work
-overlaps the HBM reads.  Measured on v5e: the chunked post-scale form reaches
-~660 GB/s packed-stream bandwidth vs ~500 GB/s for the concat + per-element
-FMA form this file replaces.
+overlaps the HBM reads.  Measured on v5e: ~604 GB/s packed-stream bandwidth at
+4-bit (VPU-bound), ~711 GB/s at 8-bit (HBM-bound).
 """
 
 from __future__ import annotations
@@ -43,7 +48,9 @@ from xbitops_tpu.formats import PLANE_DECOMP, QTensor
 from xbitops_tpu.kernels import common
 
 
-def _kernel(plane_bits, tile_k, gt, cs, compute_dtype, *refs):
+def _kernel(plane_bits, tile_k, gt, cs, compute_dtype, stacked, *refs):
+    if stacked:
+        refs = refs[1:]  # drop the scalar-prefetch layer-index ref
     n_planes = len(plane_bits)
     a_ref = refs[0]
     plane_refs = refs[1 : 1 + n_planes]
@@ -56,8 +63,13 @@ def _kernel(plane_bits, tile_k, gt, cs, compute_dtype, *refs):
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
     g_tile = tile_k // gt  # rows per scale row within this tile
-    blocks = [r[...] for r in plane_refs]
+    blocks = [(r[0] if stacked else r[...]) for r in plane_refs]
     a = a_ref[...]
+
+    def s_row(ref, gi):
+        return (ref[0, 0, gi, :] if stacked else ref[0, gi, :])[None, :].astype(
+            jnp.float32
+        )
 
     # TPU MXU evaluates f32 dots at bf16 precision unless told otherwise — the
     # precise path must demand true f32 (reference f32-accum variant,
@@ -78,11 +90,7 @@ def _kernel(plane_bits, tile_k, gt, cs, compute_dtype, *refs):
         # f32 on the VPU (chunk sums grow ~sqrt(g); bf16 rounding here would
         # be the dominant error)
         asum_c = jnp.sum(a_c.astype(jnp.float32), axis=1, keepdims=True)
-        total = (
-            total
-            + d * s_ref[0, gi, :][None, :].astype(jnp.float32)
-            - asum_c * sz_ref[0, gi, :][None, :].astype(jnp.float32)
-        )
+        total = total + d * s_row(s_ref, gi) - asum_c * s_row(sz_ref, gi)
     acc_ref[...] += total
 
     @pl.when(k == pl.num_programs(2) - 1)
@@ -102,6 +110,7 @@ def qmatmul_kernel(
     tile_n: Optional[int] = None,
     precise: bool = False,
     interpret: Optional[bool] = None,
+    layer_idx: Optional[jax.Array] = None,
 ) -> jax.Array:
     """``a (M, K) @ dequant(qt) (K, N) -> (M, N)``, fused.
 
@@ -110,12 +119,18 @@ def qmatmul_kernel(
     dots in f32 (mirrors the reference's f32-accumulation variant,
     ``gemv_w4a16_c32.cu``); the default feeds the MXU in bf16 — integer weight
     chunks are exact in bf16, so only activations round.
+
+    ``layer_idx`` (traced int32 scalar): the QTensor leaves carry a leading
+    layer axis and the kernel reads layer ``layer_idx`` in place (see module
+    docstring).
     """
     if interpret is None:
         interpret = common.interpret_default()
+    stacked = layer_idx is not None
     M, K = a.shape
     N = qt.planes[0].shape[-1]
     assert K == qt.K, f"activation K={K} != packed K={qt.K}"
+    assert qt.planes[0].ndim == (3 if stacked else 2), "layer_idx vs rank mismatch"
     tk = qt.tile_k
     plane_bits = PLANE_DECOMP[qt.bits]
     tm = tile_m or min(M, 256)
@@ -123,41 +138,95 @@ def qmatmul_kernel(
     assert M % tm == 0, (M, tm)
     compute_dtype = jnp.float32 if precise else jnp.bfloat16
     gt = qt.groups_per_tile
-    gt_pad = qt.scales.shape[1]
+    gt_pad = qt.scales.shape[-2]
     cs = common.chunk_plan(plane_bits, tk, tk // gt)
 
     grid = (M // tm, common.cdiv(N, tn), K // tk)
-    in_specs = [pl.BlockSpec((tm, tk), lambda i, j, k: (i, k), memory_space=pltpu.VMEM)]
-    in_specs += [
-        pl.BlockSpec(
-            (tk // (32 // pb), tn), lambda i, j, k: (k, j), memory_space=pltpu.VMEM
+    if stacked:
+        # with num_scalar_prefetch, index maps get grid indices first and the
+        # scalar-prefetch refs appended last
+        in_specs = [
+            pl.BlockSpec((tm, tk), lambda i, j, k, li: (i, k), memory_space=pltpu.VMEM)
+        ]
+        in_specs += [
+            pl.BlockSpec(
+                (1, tk // (32 // pb), tn),
+                lambda i, j, k, li: (li[0], k, j),
+                memory_space=pltpu.VMEM,
+            )
+            for pb in plane_bits
+        ]
+        s_spec = pl.BlockSpec(
+            (1, 1, gt_pad, tn),
+            lambda i, j, k, li: (li[0], k, 0, j),
+            memory_space=pltpu.VMEM,
         )
-        for pb in plane_bits
-    ]
-    s_spec = pl.BlockSpec(
-        (1, gt_pad, tn), lambda i, j, k: (k, 0, j), memory_space=pltpu.VMEM
-    )
-    in_specs += [s_spec, s_spec]
+        in_specs += [s_spec, s_spec]
+        out_spec = pl.BlockSpec(
+            (tm, tn), lambda i, j, k, li: (i, j), memory_space=pltpu.VMEM
+        )
+    else:
+        in_specs = [
+            pl.BlockSpec((tm, tk), lambda i, j, k: (i, k), memory_space=pltpu.VMEM)
+        ]
+        in_specs += [
+            pl.BlockSpec(
+                (tk // (32 // pb), tn), lambda i, j, k: (k, j), memory_space=pltpu.VMEM
+            )
+            for pb in plane_bits
+        ]
+        s_spec = pl.BlockSpec(
+            (1, gt_pad, tn), lambda i, j, k: (k, 0, j), memory_space=pltpu.VMEM
+        )
+        in_specs += [s_spec, s_spec]
+        out_spec = pl.BlockSpec(
+            (tm, tn), lambda i, j, k: (i, j), memory_space=pltpu.VMEM
+        )
 
-    packed_bytes = sum(p.size * 4 for p in qt.planes)
-    out = pl.pallas_call(
-        functools.partial(_kernel, plane_bits, tk, gt, cs, compute_dtype),
-        grid=grid,
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec((tm, tn), lambda i, j, k: (i, j), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((M, N), out_dtype),
-        scratch_shapes=[pltpu.VMEM((tm, tn), jnp.float32)],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
-        ),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * M * N * K,
-            bytes_accessed=packed_bytes
-            + qt.scales.size * qt.scales.dtype.itemsize * 2
-            + M * K * a.dtype.itemsize
-            + M * N * jnp.dtype(out_dtype).itemsize,
-            transcendentals=0,
-        ),
-        interpret=interpret,
-    )(a, *qt.planes, qt.scales, qt.scale_zeros)
+    # per-layer packed bytes (what one call streams)
+    layers = qt.planes[0].shape[0] if stacked else 1
+    packed_bytes = sum(p.size * 4 for p in qt.planes) // layers
+    kernel = functools.partial(_kernel, plane_bits, tk, gt, cs, compute_dtype, stacked)
+    cost = pl.CostEstimate(
+        flops=2 * M * N * K,
+        bytes_accessed=packed_bytes
+        + qt.scales.size * qt.scales.dtype.itemsize * 2 // layers
+        + M * K * a.dtype.itemsize
+        + M * N * jnp.dtype(out_dtype).itemsize,
+        transcendentals=0,
+    )
+    cparams = pltpu.CompilerParams(
+        dimension_semantics=("parallel", "parallel", "arbitrary"),
+    )
+    if stacked:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=out_spec,
+            scratch_shapes=[pltpu.VMEM((tm, tn), jnp.float32)],
+        )
+        out = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((M, N), out_dtype),
+            compiler_params=cparams,
+            cost_estimate=cost,
+            interpret=interpret,
+        )(
+            jnp.asarray(layer_idx, jnp.int32).reshape(1),
+            a, *qt.planes, qt.scales, qt.scale_zeros,
+        )
+    else:
+        out = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=out_spec,
+            out_shape=jax.ShapeDtypeStruct((M, N), out_dtype),
+            scratch_shapes=[pltpu.VMEM((tm, tn), jnp.float32)],
+            compiler_params=cparams,
+            cost_estimate=cost,
+            interpret=interpret,
+        )(a, *qt.planes, qt.scales, qt.scale_zeros)
     return out

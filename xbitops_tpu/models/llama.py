@@ -198,6 +198,16 @@ class KVCache:
 # --- runtimes: where collectives happen ---
 
 
+class IndexedQTensor:
+    """View of a layer-stacked QTensor at a traced layer index: the fused
+    kernel reads that layer's planes in place through a scalar-prefetch index
+    (no per-step weight copy — see kernels/qgemv_kernel.py)."""
+
+    def __init__(self, qt: QTensor, layer):
+        self.qt = qt
+        self.layer = layer
+
+
 class Runtime:
     """Single-chip execution: linears are plain fused qmatmuls."""
 
@@ -221,6 +231,15 @@ class TPRuntime(Runtime):
         from xbitops_tpu.formats import is_row_sharded
         from xbitops_tpu.parallel.tp import squeeze_row_shard
 
+        if isinstance(w, IndexedQTensor) and w.qt.planes[0].ndim == 4:
+            # stacked row-sharded: drop the (length-1) local shard axis
+            qt = dataclasses.replace(
+                w.qt,
+                planes=tuple(p[:, 0] for p in w.qt.planes),
+                scales=w.qt.scales[:, 0],
+                scale_zeros=w.qt.scale_zeros[:, 0],
+            )
+            w = IndexedQTensor(qt, w.layer)
         if isinstance(w, QTensor) and is_row_sharded(w):
             w = squeeze_row_shard(w)
         return jax.lax.psum(_linear(x, w, **kw), self.axis)
@@ -230,6 +249,8 @@ class TPRuntime(Runtime):
 
 
 def _linear(x: jax.Array, w: Any, **kw) -> jax.Array:
+    if isinstance(w, IndexedQTensor):
+        return qmatmul(x, w.qt, out_dtype=x.dtype, layer=w.layer, **kw)
     if isinstance(w, QTensor):
         return qmatmul(x, w, out_dtype=x.dtype, **kw)
     return jnp.dot(x, w.astype(x.dtype), preferred_element_type=jnp.float32).astype(x.dtype)
@@ -370,17 +391,29 @@ def forward(
             new_v.append(vc)
         new_k, new_v = jnp.stack(new_k), jnp.stack(new_v)
     else:
-        # stacked layers (see stack_layers): one compiled block, scanned.
-        # Compile time and program size stay O(1) in depth — essential at 7B+.
-        def body(x, per_layer):
-            layer, kc, vc = per_layer
+        # stacked layers (see stack_layers): one compiled block, scanned —
+        # compile time and program size stay O(1) in depth.  QTensors are NOT
+        # scanned over (a scan slice feeding a Pallas call would copy the
+        # weights every step); the fused kernel reads layer `li` in place via
+        # a scalar-prefetch index (IndexedQTensor).
+        qt_stacked = {k: v for k, v in layers.items() if isinstance(v, QTensor)}
+        others = {k: v for k, v in layers.items() if not isinstance(v, QTensor)}
+        L = cache.k.shape[0]
+
+        def body(x, xs):
+            li, other, kc, vc = xs
+            layer = dict(other)
+            for key, qtv in qt_stacked.items():
+                layer[key] = IndexedQTensor(qtv, li)
             x, kc, vc = _block(
                 layer, cfg, rt, x, positions, kc, vc, mask,
                 slot_ids=slot_ids, self_attend=self_attend,
             )
             return x, (kc, vc)
 
-        x, (new_k, new_v) = jax.lax.scan(body, x, (layers, cache.k, cache.v))
+        x, (new_k, new_v) = jax.lax.scan(
+            body, x, (jnp.arange(L), others, cache.k, cache.v)
+        )
 
     x = rms_norm(x, params["ln_final"], cfg.rms_eps)
     logits = _linear(x, params["lm_head"])

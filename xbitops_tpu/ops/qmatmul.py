@@ -38,6 +38,7 @@ def qmatmul(
     use_kernel: bool = True,
     tile_n: Optional[int] = None,
     interpret: Optional[bool] = None,
+    layer: Optional[jax.Array] = None,
 ) -> jax.Array:
     """``a[..., K] @ dequant(qt)[K, N] -> [..., N]`` without materializing the
     dense weight.
@@ -45,8 +46,18 @@ def qmatmul(
     Leading dims of ``a`` fold into M (as the reference folds 3-D inputs,
     ``dq_torch_ops.cc:61-64``).  Act-order QTensors gather the activation columns
     through ``qt.perm`` (exllama-style) rather than gathering weights.
+
+    ``layer`` (traced int32): ``qt``'s arrays carry a leading layer axis
+    (``models.llama.stack_layers``) and the kernel reads that layer in place —
+    the scan-over-layers path with zero weight copies.
     """
     out_dtype = out_dtype or a.dtype
+    if layer is not None:
+        if qt.perm is not None:
+            raise NotImplementedError("stacked act-order qmatmul")
+        if not use_kernel:
+            qt = jax.tree.map(lambda x: x[layer], qt)
+            layer = None
     *lead, K = a.shape
     if K != qt.K_logical:
         raise ValueError(f"a K={K} != weight K={qt.K_logical}")
@@ -84,7 +95,7 @@ def qmatmul(
         kernel_out = jnp.dtype(jnp.float32)
     out = qmatmul_kernel(
         a2, qt, out_dtype=kernel_out, tile_m=tm, tile_n=tile_n,
-        precise=precise, interpret=interpret,
+        precise=precise, interpret=interpret, layer_idx=layer,
     )
     return out[:M, :Nl].reshape(*lead, Nl).astype(out_dtype)
 
