@@ -27,7 +27,8 @@ from jax import lax
 from xbitops_tpu.models import llama
 from xbitops_tpu.utils import synth
 
-B = 4  # decode batch (slots)
+B = 8  # decode batch (slots): step time is weight-bound, so tokens/s ~ B;
+# 8 rows fill one sublane tile (no padding waste on either model)
 SEQ = 128  # KV capacity; decode timing is weight-bound, cache size irrelevant
 REF_HEADLINE_SPEEDUP = 2.0  # reference README.md:19-20
 

@@ -75,16 +75,24 @@ class Engine:
         seed: int = 0,
         cache_dtype=jnp.bfloat16,
         decode_burst: int = 1,
+        prefill_chunk: int = 512,
     ):
         """``decode_burst`` chains that many decode steps in one device
         dispatch (a ``lax.scan``): host<->device round-trip latency amortizes
         over the burst, at the cost of admission granularity and of discarding
-        any tokens a slot sampled after its stop condition."""
+        any tokens a slot sampled after its stop condition.
+
+        Prompts longer than ``prefill_chunk`` prefill in fixed chunks that
+        attend the cache (O(chunk * S) attention memory instead of O(T^2))."""
         self.cfg = cfg
         self.slots = slots
         self.mesh = mesh
         self.axis = axis
-        self.buckets = sorted(prefill_buckets or default_buckets(cfg.max_seq_len))
+        self.prefill_chunk = min(prefill_chunk, cfg.max_seq_len)
+        self.buckets = sorted(
+            b for b in (prefill_buckets or default_buckets(cfg.max_seq_len))
+            if b <= self.prefill_chunk
+        ) or [self.prefill_chunk]
         self.decode_burst = max(1, decode_burst)
         self._key = jax.random.PRNGKey(seed)
         self._next_id = 0
@@ -127,6 +135,11 @@ class Engine:
             def base_prefill(params, cache, tokens, true_len, slot):
                 return llama.prefill_slot(params, cfg, tokens, true_len, slot, cache)
 
+            def base_prefill_chunk(params, cache, tokens, start, true_len, slot, reset):
+                return llama.prefill_slot_chunk(
+                    params, cfg, tokens, start, true_len, slot, cache, reset=reset
+                )
+
             def base_decode(params, cache, tokens, active):
                 return llama.decode_step(params, cfg, tokens, cache, active=active)
         else:
@@ -135,6 +148,12 @@ class Engine:
             def base_prefill(params, cache, tokens, true_len, slot):
                 return model_tp.tp_prefill_slot(
                     params, cfg, mesh, tokens, true_len, slot, cache, axis
+                )
+
+            def base_prefill_chunk(params, cache, tokens, start, true_len, slot, reset):
+                return model_tp.tp_prefill_slot_chunk(
+                    params, cfg, mesh, tokens, start, true_len, slot, cache, axis,
+                    reset=reset,
                 )
 
             def base_decode(params, cache, tokens, active):
@@ -149,6 +168,19 @@ class Engine:
                 logits[None], key, temp[None], top_k, top_p
             )
             return tok[0], cache
+
+        @partial(jax.jit, donate_argnums=(1,))
+        def prefill_chunk_fn(params, cache, tokens, start, true_len, slot, reset,
+                             key, temp):
+            logits, cache = base_prefill_chunk(
+                params, cache, tokens, start, true_len, slot, reset
+            )
+            tok = sampling.sample_tokens(
+                logits[None], key, temp[None], top_k, top_p
+            )
+            return tok[0], cache
+
+        self._prefill_chunk_fn = prefill_chunk_fn
 
         burst = self.decode_burst
 

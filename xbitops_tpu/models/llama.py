@@ -295,10 +295,15 @@ def _attention(q, k, v, mask, scale):
 
 
 def _block(
-    layer, cfg: LlamaConfig, rt: Runtime, x, positions, k_cache, v_cache, mask,
+    layer, cfg: LlamaConfig, rt: Runtime, x, positions, k_all, v_all, li, mask,
     slot_ids=None, self_attend=False,
 ):
-    """One transformer block on [B, T, h_local-agnostic]; returns new (k, v) slice.
+    """One transformer block on [B, T, h_local-agnostic].
+
+    ``k_all``/``v_all`` are the FULL stacked caches ``[L, B, S, Hkv, D]``; new
+    k/v scatter directly into layer ``li`` of them (a sparse in-place update
+    on the loop-carried buffers — never a per-layer slice + restack, which
+    would double cache memory and rewrite it every step).
 
     ``slot_ids`` maps x's batch rows to cache slots (default: identity).  With
     ``self_attend`` the attention context is the block's own k/v (a fresh
@@ -327,13 +332,16 @@ def _block(
     # out-of-bounds scatter updates, so positions >= S (padding / inactive
     # slots) write nothing — the engine relies on this for ragged batches.
     b_idx = (slot_ids if slot_ids is not None else jnp.arange(B))[:, None]
-    k_cache = k_cache.at[b_idx, positions].set(k.astype(k_cache.dtype), mode="drop")
-    v_cache = v_cache.at[b_idx, positions].set(v.astype(v_cache.dtype), mode="drop")
+    k_all = k_all.at[li, b_idx, positions].set(k.astype(k_all.dtype), mode="drop")
+    v_all = v_all.at[li, b_idx, positions].set(v.astype(v_all.dtype), mode="drop")
 
     if self_attend:
         att = _attention(q, k, v, mask, D ** -0.5)
+    elif slot_ids is not None:
+        # x's batch rows map to a subset of cache slots: attend those slots
+        att = _attention(q, k_all[li][slot_ids], v_all[li][slot_ids], mask, D ** -0.5)
     else:
-        att = _attention(q, k_cache, v_cache, mask, D ** -0.5)
+        att = _attention(q, k_all[li], v_all[li], mask, D ** -0.5)
     x = x + rt.row(att.reshape(B, T, H * D), layer["wo"])
 
     hx = rms_norm(x, layer["ln_mlp"], cfg.rms_eps)
@@ -345,7 +353,7 @@ def _block(
         up = rt.col(hx, layer["w_up"])
     act = (jax.nn.silu(gate.astype(jnp.float32)) * up.astype(jnp.float32)).astype(x.dtype)
     x = x + rt.row(act, layer["w_down"])
-    return x, k_cache, v_cache
+    return x, k_all, v_all
 
 
 def forward(
@@ -380,39 +388,38 @@ def forward(
         mask = s_idx <= positions[:, :, None]
 
     layers = params["layers"]
+    new_k, new_v = cache.k, cache.v
     if isinstance(layers, (list, tuple)):
-        new_k, new_v = [], []
         for li, layer in enumerate(layers):
-            x, kc, vc = _block(
-                layer, cfg, rt, x, positions, cache.k[li], cache.v[li], mask,
+            x, new_k, new_v = _block(
+                layer, cfg, rt, x, positions, new_k, new_v, li, mask,
                 slot_ids=slot_ids, self_attend=self_attend,
             )
-            new_k.append(kc)
-            new_v.append(vc)
-        new_k, new_v = jnp.stack(new_k), jnp.stack(new_v)
     else:
         # stacked layers (see stack_layers): one compiled block, scanned —
         # compile time and program size stay O(1) in depth.  QTensors are NOT
         # scanned over (a scan slice feeding a Pallas call would copy the
         # weights every step); the fused kernel reads layer `li` in place via
-        # a scalar-prefetch index (IndexedQTensor).
+        # a scalar-prefetch index (IndexedQTensor).  The caches ride the scan
+        # CARRY and receive sparse scatters — in-place on aliased buffers.
         qt_stacked = {k: v for k, v in layers.items() if isinstance(v, QTensor)}
         others = {k: v for k, v in layers.items() if not isinstance(v, QTensor)}
         L = cache.k.shape[0]
 
-        def body(x, xs):
-            li, other, kc, vc = xs
+        def body(carry, xs):
+            x, k_all, v_all = carry
+            li, other = xs
             layer = dict(other)
             for key, qtv in qt_stacked.items():
                 layer[key] = IndexedQTensor(qtv, li)
-            x, kc, vc = _block(
-                layer, cfg, rt, x, positions, kc, vc, mask,
+            x, k_all, v_all = _block(
+                layer, cfg, rt, x, positions, k_all, v_all, li, mask,
                 slot_ids=slot_ids, self_attend=self_attend,
             )
-            return x, (kc, vc)
+            return (x, k_all, v_all), None
 
-        x, (new_k, new_v) = jax.lax.scan(
-            body, x, (jnp.arange(L), others, cache.k, cache.v)
+        (x, new_k, new_v), _ = jax.lax.scan(
+            body, (x, new_k, new_v), (jnp.arange(L), others)
         )
 
     x = rms_norm(x, params["ln_final"], cfg.rms_eps)
@@ -483,6 +490,36 @@ def prefill_slot(params, cfg, tokens, true_len, slot, cache, rt=None):
     last = jax.lax.dynamic_index_in_dim(
         logits[0], jnp.maximum(true_len - 1, 0), axis=0, keepdims=False
     )
+    return last, cache
+
+
+def prefill_slot_chunk(
+    params, cfg, tokens, start, true_len, slot, cache, rt=None, reset=False
+):
+    """One chunk of a long prefill into slot ``slot``: tokens [C] are prompt
+    positions ``[start, start+C)`` (pads past ``true_len`` masked out).
+
+    Unlike :func:`prefill_slot`, attention reads the slot's cache (earlier
+    chunks) plus the chunk itself — attention memory is O(C * S), not O(T^2),
+    so arbitrarily long prompts prefill in fixed-size pieces.  ``reset=True``
+    on the first chunk clears a recycled slot's stale length.
+
+    Returns the logits row for the prompt's last token (meaningful once the
+    final chunk ran; garbage before) and the updated cache.
+    """
+    C = tokens.shape[0]
+    S = cache.k.shape[2]
+    pos = start + jnp.arange(C)
+    positions = jnp.where(pos < true_len, pos, S)[None]
+    # reset may be traced (one compiled program for first/later chunks)
+    slot_len = jnp.where(jnp.asarray(reset), 0, cache.lengths[slot])
+    cache = KVCache(k=cache.k, v=cache.v, lengths=cache.lengths.at[slot].set(slot_len))
+    logits, cache = forward(
+        params, cfg, tokens[None], cache, positions, rt,
+        slot_ids=jnp.full((1,), slot, jnp.int32),
+    )
+    last_in_chunk = jnp.clip(true_len - 1 - start, 0, C - 1)
+    last = jax.lax.dynamic_index_in_dim(logits[0], last_in_chunk, axis=0, keepdims=False)
     return last, cache
 
 

@@ -140,6 +140,37 @@ def tp_decode_step(
     return logits[:, -1, :], cache
 
 
+def tp_prefill_slot_chunk(
+    params, cfg, mesh, tokens, start, true_len, slot, cache, axis: str = "model",
+    reset=False,
+):
+    """Sharded :func:`~xbitops_tpu.models.llama.prefill_slot_chunk`."""
+    tp = mesh.shape[axis]
+    local_cfg = cfg.local(tp)
+    rt = llama.TPRuntime(axis)
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(
+            param_pspecs(params, axis), P(None), P(), P(), P(), P(),
+            cache_pspecs(axis),
+        ),
+        out_specs=(P(None), cache_pspecs(axis)),
+        check_vma=False,
+    )
+    def f(params_l, tokens_l, start_l, true_len_l, slot_l, reset_l, cache_l):
+        return llama.prefill_slot_chunk(
+            params_l, local_cfg, tokens_l, start_l, true_len_l, slot_l, cache_l,
+            rt, reset=reset_l,
+        )
+
+    return f(
+        params, tokens, jnp.asarray(start), jnp.asarray(true_len),
+        jnp.asarray(slot), jnp.asarray(reset), cache,
+    )
+
+
 def tp_prefill_slot(
     params, cfg, mesh, tokens, true_len, slot, cache, axis: str = "model"
 ):
