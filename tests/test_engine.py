@@ -176,3 +176,30 @@ def test_engine_burst_matches_single_step(params):
                decode_burst=4).generate(reqs())
     assert [c.tokens for c in a] == [c.tokens for c in b]
     assert [c.finish_reason for c in a] == [c.finish_reason for c in b]
+
+
+def test_engine_chunked_prefill_matches(params):
+    """A long prompt prefilled in chunks == prefilled whole (the chunk path
+    attends the cache instead of itself; numerics identical shapes aside)."""
+    prompt = list(range(3, 3 + 23))  # length 23
+    whole = Engine(params, CFG, slots=2, prefill_chunk=32,
+                   prefill_buckets=[32]).generate(
+        [Request(prompt=prompt, max_new_tokens=5)]
+    )
+    chunked = Engine(params, CFG, slots=2, prefill_chunk=8,
+                     prefill_buckets=[8]).generate(
+        [Request(prompt=prompt, max_new_tokens=5)]
+    )
+    assert whole[0].tokens == chunked[0].tokens, (
+        whole[0].tokens, chunked[0].tokens
+    )
+    # chunked slot reuse: second long request through the same slot
+    chunked_eng = Engine(params, CFG, slots=1, prefill_chunk=8, prefill_buckets=[8])
+    outs = chunked_eng.generate(
+        [Request(prompt=prompt, max_new_tokens=4),
+         Request(prompt=prompt[:10], max_new_tokens=4)]
+    )
+    solo = Engine(params, CFG, slots=1, prefill_chunk=8, prefill_buckets=[8]).generate(
+        [Request(prompt=prompt[:10], max_new_tokens=4)]
+    )
+    assert outs[1].tokens == solo[0].tokens

@@ -272,14 +272,28 @@ class Engine:
                 if not active[b] and pending:
                     r = pending.popleft()
                     prompt = list(r.prompt)
-                    bucket = self._bucket(len(prompt))
-                    toks = np.zeros(bucket, np.int32)
-                    toks[: len(prompt)] = prompt
-                    tok_dev, self.cache = self._prefill_fn(
-                        self.params, self.cache, jnp.asarray(toks),
-                        jnp.int32(len(prompt)), jnp.int32(b), self._split_key(),
-                        jnp.float32(r.temperature),
-                    )
+                    if len(prompt) <= self.buckets[-1]:
+                        bucket = self._bucket(len(prompt))
+                        toks = np.zeros(bucket, np.int32)
+                        toks[: len(prompt)] = prompt
+                        tok_dev, self.cache = self._prefill_fn(
+                            self.params, self.cache, jnp.asarray(toks),
+                            jnp.int32(len(prompt)), jnp.int32(b),
+                            self._split_key(), jnp.float32(r.temperature),
+                        )
+                    else:
+                        # long prompt: fixed-size chunks attending the cache
+                        C = self.prefill_chunk
+                        for ci, start in enumerate(range(0, len(prompt), C)):
+                            chunk = np.zeros(C, np.int32)
+                            piece = prompt[start : start + C]
+                            chunk[: len(piece)] = piece
+                            tok_dev, self.cache = self._prefill_chunk_fn(
+                                self.params, self.cache, jnp.asarray(chunk),
+                                jnp.int32(start), jnp.int32(len(prompt)),
+                                jnp.int32(b), jnp.asarray(ci == 0),
+                                self._split_key(), jnp.float32(r.temperature),
+                            )
                     slot_req[b] = r
                     slot_gen[b] = []
                     slot_len[b] = len(prompt)
