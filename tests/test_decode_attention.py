@@ -1,0 +1,70 @@
+"""Length-aware decode-attention kernel vs the masked-softmax oracle."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from xbitops_tpu.kernels.decode_attention import decode_attention
+
+
+def ref_att(q, k, v, lengths):
+    B, H, D = q.shape
+    S, Hkv = k.shape[1], k.shape[2]
+    rep = H // Hkv
+    kk = jnp.repeat(k, rep, axis=2).astype(jnp.float32)
+    vv = jnp.repeat(v, rep, axis=2).astype(jnp.float32)
+    logits = jnp.einsum("bhd,bshd->bhs", q.astype(jnp.float32), kk) * (D ** -0.5)
+    mask = jnp.arange(S)[None, None, :] < lengths[:, None, None]
+    p = jax.nn.softmax(jnp.where(mask, logits, -1e30), axis=-1)
+    return jnp.einsum("bhs,bshd->bhd", p, vv)
+
+
+@pytest.mark.parametrize(
+    "B,S,H,Hkv,bs",
+    [(2, 256, 8, 2, 64), (3, 300, 12, 4, 128), (1, 64, 4, 4, 64), (2, 128, 4, 1, 32)],
+)
+def test_decode_attention_matches_oracle(B, S, H, Hkv, bs):
+    D = 128
+    key = jax.random.PRNGKey(B * 100 + S)
+    q = jax.random.normal(key, (B, H, D), jnp.bfloat16)
+    k = jax.random.normal(jax.random.fold_in(key, 1), (B, S, Hkv, D), jnp.bfloat16) * 0.3
+    v = jax.random.normal(jax.random.fold_in(key, 2), (B, S, Hkv, D), jnp.bfloat16) * 0.3
+    lengths = jnp.asarray(np.random.default_rng(S).integers(1, S + 1, B), jnp.int32)
+    got = np.asarray(decode_attention(q, k, v, lengths, block_s=bs), np.float32)
+    want = np.asarray(ref_att(q, k, v, lengths))
+    np.testing.assert_allclose(got, want, rtol=5e-2, atol=2e-3)
+
+
+def test_decode_attention_stacked_layer_index():
+    L, B, S, H, Hkv, D = 3, 2, 128, 8, 2, 128
+    key = jax.random.PRNGKey(7)
+    q = jax.random.normal(key, (B, H, D), jnp.bfloat16)
+    ks = jax.random.normal(jax.random.fold_in(key, 1), (L, B, S, Hkv, D), jnp.bfloat16) * 0.3
+    vs = jax.random.normal(jax.random.fold_in(key, 2), (L, B, S, Hkv, D), jnp.bfloat16) * 0.3
+    lengths = jnp.asarray([60, 128], jnp.int32)
+    for li in range(L):
+        got = np.asarray(
+            decode_attention(q, ks, vs, lengths, block_s=64, layer_idx=jnp.int32(li)),
+            np.float32,
+        )
+        want = np.asarray(ref_att(q, ks[li], vs[li], lengths))
+        np.testing.assert_allclose(got, want, rtol=5e-2, atol=2e-3)
+
+
+def test_decode_attention_length_isolation():
+    """Values past each slot's length must not influence the output."""
+    B, S, H, Hkv, D = 2, 128, 4, 2, 128
+    key = jax.random.PRNGKey(0)
+    q = jax.random.normal(key, (B, H, D), jnp.bfloat16)
+    k = jax.random.normal(jax.random.fold_in(key, 1), (B, S, Hkv, D), jnp.bfloat16)
+    v = jax.random.normal(jax.random.fold_in(key, 2), (B, S, Hkv, D), jnp.bfloat16)
+    lengths = jnp.asarray([40, 100], jnp.int32)
+    base = np.asarray(decode_attention(q, k, v, lengths, block_s=32), np.float32)
+    # poison everything past the lengths with huge values
+    pos = jnp.arange(S)[None, :, None, None]
+    poison = jnp.where(pos >= lengths[:, None, None, None], 1e4, 0).astype(k.dtype)
+    got = np.asarray(
+        decode_attention(q, k + poison, v + poison, lengths, block_s=32), np.float32
+    )
+    np.testing.assert_array_equal(got, base)

@@ -1,0 +1,178 @@
+"""Pallas TPU kernel: length-aware single-token (decode) attention.
+
+The reference has no attention at all (SURVEY §5 "no sequence axis"); this
+kernel exists because the XLA fallback attends over the FULL static KV-cache
+allocation every decode step — masking hides the values but not the HBM
+reads, so long-context decode pays for dead cache positions.
+
+Design (flash-decoding style, shaped for the TPU VPU):
+
+- k/v blocks stream in the cache's NATIVE ``(bs, Hkv, D)`` shape — no
+  host-side reshape (reshaping a multi-GB array right before a custom call
+  makes XLA materialize a full copy per call) and no in-kernel lane merges
+  (relayouts);
+- grid ``(B, S_blocks)`` only: one program per sequence block moves
+  ``bs * Hkv * D`` contiguous bytes — large, pipeline-friendly DMAs (a
+  per-head grid would move 32 KB blocks and run latency-bound);
+- per block, scores for all kv heads at once: elementwise ``k * q_r`` and a
+  lane reduction over D — M=1 attention has no use for the MXU, the VPU does
+  everything at a fraction of the DMA time; online softmax (running max /
+  denominator / accumulator in VMEM scratch) across sequence blocks;
+- per-slot lengths arrive as a **scalar-prefetch** argument feeding the k/v
+  index maps, which clamp past-length block indices to the last live block:
+  Mosaic skips the DMA when consecutive steps map to the same block, so HBM
+  traffic scales with actual lengths, not the allocation (compute also skips
+  via ``pl.when``);
+- with ``layer_idx`` the k/v operands are the WHOLE stacked cache
+  ``[L, B, S, Hkv, D]`` and a second scalar-prefetch argument selects the
+  layer — inside a ``lax.scan`` over layers nothing is sliced or copied.
+
+GQA: the ``rep = H/Hkv`` query heads sharing a kv head loop inside the kernel
+(k/v blocks are reused across them).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from xbitops_tpu.kernels import common
+
+NEG_INF = -1e30
+
+
+def _kernel(bs, rep, Hkv, D, scale, stacked, *refs):
+    if stacked:
+        lens_ref, _li_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref = refs
+    else:
+        lens_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref = refs
+    b = pl.program_id(0)
+    s = pl.program_id(1)
+    length = lens_ref[b]
+
+    @pl.when(s == 0)
+    def _():
+        m_ref[...] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    @pl.when(s * bs < length)
+    def _():
+        k = (k_ref[0, 0] if stacked else k_ref[0]).astype(jnp.float32)  # (bs,Hkv,D)
+        v = (v_ref[0, 0] if stacked else v_ref[0]).astype(jnp.float32)
+        # row i of this block is cache position s*bs + i
+        live = (
+            s * bs + jax.lax.broadcasted_iota(jnp.int32, (bs, Hkv), 0) < length
+        )
+        q = q_ref[0].astype(jnp.float32)  # (Hkv, rep, D)
+        for r in range(rep):
+            qr = q[:, r, :]  # (Hkv, D)
+            scores = jnp.sum(k * qr[None, :, :], axis=2) * scale  # (bs, Hkv)
+            scores = jnp.where(live, scores, NEG_INF)
+
+            m_prev = m_ref[r : r + 1, :]  # (1, Hkv)
+            m_new = jnp.maximum(m_prev, jnp.max(scores, axis=0, keepdims=True))
+            m_ref[r : r + 1, :] = m_new
+            alpha = jnp.exp(m_prev - m_new)  # (1, Hkv)
+            p = jnp.exp(scores - m_new)  # (bs, Hkv)
+            l_ref[r : r + 1, :] = l_ref[r : r + 1, :] * alpha + jnp.sum(
+                p, axis=0, keepdims=True
+            )
+            pv = jnp.sum(p[:, :, None] * v, axis=0)  # (Hkv, D)
+            acc_ref[r] = acc_ref[r] * alpha[0][:, None] + pv
+
+    @pl.when(s == pl.num_programs(1) - 1)
+    def _():
+        for r in range(rep):
+            denom = jnp.maximum(l_ref[r], 1e-30)[:, None]  # (Hkv, 1)
+            o_ref[0, :, r, :] = (acc_ref[r] / denom).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_s", "interpret"))
+def decode_attention(
+    q: jax.Array,  # [B, H, D]
+    k: jax.Array,  # [B, S, Hkv, D]  (or [L, B, S, Hkv, D] with layer_idx)
+    v: jax.Array,  # like k
+    lengths: jax.Array,  # int32 [B] — live positions per slot (attend s < len)
+    block_s: int = 256,
+    interpret: Optional[bool] = None,
+    layer_idx: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Softmax(q k^T / sqrt(D)) v over each slot's first ``lengths[b]`` cache
+    positions; returns [B, H, D].  HBM reads scale with ``lengths``, not S."""
+    if interpret is None:
+        interpret = common.interpret_default()
+    stacked = layer_idx is not None
+    B, H, D = q.shape
+    S, Hkv = k.shape[-3], k.shape[-2]
+    assert H % Hkv == 0
+    rep = H // Hkv
+    bs = min(block_s, S)
+    n_blocks = common.cdiv(S, bs)
+    # query head h*rep+r shares kv head h (jnp.repeat convention)
+    q4 = q.reshape(B, Hkv, rep, D)
+
+    def clamp(s, lens, b):
+        # clamp past-length blocks to the last live block: same index ->
+        # Mosaic reuses the already-resident block, no HBM traffic
+        last = jnp.maximum(lens[b] - 1, 0) // bs
+        return jnp.minimum(s, last)
+
+    if stacked:
+        q_spec = pl.BlockSpec(
+            (1, Hkv, rep, D), lambda b, s, lens, li: (b, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        kv_spec = pl.BlockSpec(
+            (1, 1, bs, Hkv, D),
+            lambda b, s, lens, li: (li[0], b, clamp(s, lens, b), 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        o_spec = pl.BlockSpec(
+            (1, Hkv, rep, D), lambda b, s, lens, li: (b, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        n_prefetch = 2
+        args = (lengths.astype(jnp.int32),
+                jnp.asarray(layer_idx, jnp.int32).reshape(1), q4, k, v)
+    else:
+        q_spec = pl.BlockSpec(
+            (1, Hkv, rep, D), lambda b, s, lens: (b, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        kv_spec = pl.BlockSpec(
+            (1, bs, Hkv, D), lambda b, s, lens: (b, clamp(s, lens, b), 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        o_spec = pl.BlockSpec(
+            (1, Hkv, rep, D), lambda b, s, lens: (b, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        n_prefetch = 1
+        args = (lengths.astype(jnp.int32), q4, k, v)
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, bs, rep, Hkv, D, D ** -0.5, stacked),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=n_prefetch,
+            grid=(B, n_blocks),
+            in_specs=[q_spec, kv_spec, kv_spec],
+            out_specs=o_spec,
+            scratch_shapes=[
+                pltpu.VMEM((rep, Hkv), jnp.float32),  # running max
+                pltpu.VMEM((rep, Hkv), jnp.float32),  # running denom
+                pltpu.VMEM((rep, Hkv, D), jnp.float32),  # output accumulator
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, Hkv, rep, D), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(*args)
+    return out.reshape(B, H, D)

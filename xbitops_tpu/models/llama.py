@@ -36,6 +36,9 @@ class LlamaConfig:
     rope_theta: float = 10000.0
     rms_eps: float = 1e-5
     max_seq_len: int = 2048
+    # decode attention through the length-aware Pallas kernel (reads scale
+    # with live lengths, not the cache allocation); XLA fallback if False
+    flash_decode: bool = True
 
     @staticmethod
     def llama2_7b() -> "LlamaConfig":
@@ -340,6 +343,13 @@ def _block(
     elif slot_ids is not None:
         # x's batch rows map to a subset of cache slots: attend those slots
         att = _attention(q, k_all[li][slot_ids], v_all[li][slot_ids], mask, D ** -0.5)
+    elif T == 1 and cfg.flash_decode and D % 128 == 0:
+        # decode: length-aware kernel reads layer li of the stacked cache in
+        # place; HBM traffic ~ live lengths, not the S_max allocation
+        from xbitops_tpu.kernels.decode_attention import decode_attention
+
+        lens_eff = jnp.minimum(positions[:, 0] + 1, k_all.shape[2])
+        att = decode_attention(q[:, 0], k_all, v_all, lens_eff, layer_idx=li)[:, None]
     else:
         att = _attention(q, k_all[li], v_all[li], mask, D ** -0.5)
     x = x + rt.row(att.reshape(B, T, H * D), layer["wo"])
