@@ -25,6 +25,11 @@ from xbitops_tpu.formats import (  # noqa: F401
     quantize,
 )
 from xbitops_tpu.ops.dequant import dequant  # noqa: F401
+from xbitops_tpu.ops.gptq import (  # noqa: F401
+    gptq_quantize_array,
+    hessian_from_inputs,
+    quantize_model_gptq,
+)
 from xbitops_tpu.ops.qmatmul import gemv, qmatmul  # noqa: F401
 from xbitops_tpu.ops.quantize import quantize_array  # noqa: F401
 

@@ -105,6 +105,37 @@ def cmd_generate(args) -> int:
     return 0
 
 
+def cmd_quantize(args) -> int:
+    import shutil
+
+    import jax
+
+    from xbitops_tpu.io import load_autogptq, save_packed
+    from xbitops_tpu.ops.gptq import quantize_model_gptq
+
+    t0 = time.time()
+    # load_autogptq on a dense checkpoint keeps every projection dense
+    params, cfg = load_autogptq(args.ckpt, max_seq_len=args.seq_len)
+    B = max(1, args.calib_tokens // args.seq_len)
+    calib = jax.random.randint(
+        jax.random.PRNGKey(0), (B, args.seq_len), 0, cfg.vocab_size
+    )
+    print(f"calibrating on {B}x{args.seq_len} random tokens "
+          "(pass real text via a tokenizer for production use)", file=sys.stderr)
+    qparams = quantize_model_gptq(
+        params, cfg, calib, bits=args.bits, group_size=args.group_size,
+        act_order=args.act_order, verbose=True,
+    )
+    save_packed(qparams, args.out)
+    src = Path(args.ckpt)
+    for name in ("config.json", "tokenizer.json", "tokenizer.model",
+                 "tokenizer_config.json"):
+        if (src / name).exists():
+            shutil.copy(src / name, Path(args.out) / name)
+    print(f"gptq {args.bits}-bit packed -> {args.out} in {time.time()-t0:.0f}s")
+    return 0
+
+
 def cmd_bench(args) -> int:
     import jax
     import jax.numpy as jnp
@@ -160,6 +191,17 @@ def main(argv=None) -> int:
     b.add_argument("--group-size", type=int, default=128)
     b.add_argument("--batch", type=int, default=4)
     b.set_defaults(fn=cmd_bench)
+
+    q = sub.add_parser("quantize", help="GPTQ-quantize a dense HF Llama checkpoint")
+    q.add_argument("--ckpt", required=True, help="dense safetensors dir (HF layout)")
+    q.add_argument("--out", required=True)
+    q.add_argument("--bits", type=int, default=4)
+    q.add_argument("--group-size", type=int, default=128)
+    q.add_argument("--act-order", action="store_true")
+    q.add_argument("--calib-tokens", type=int, default=2048,
+                   help="total calibration tokens (random ids if no dataset)")
+    q.add_argument("--seq-len", type=int, default=512)
+    q.set_defaults(fn=cmd_quantize)
 
     args = ap.parse_args(argv)
     return args.fn(args)
