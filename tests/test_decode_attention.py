@@ -68,3 +68,26 @@ def test_decode_attention_length_isolation():
         decode_attention(q, k + poison, v + poison, lengths, block_s=32), np.float32
     )
     np.testing.assert_array_equal(got, base)
+
+
+def test_decode_attention_int8_scales():
+    """int8 k/v + per-(pos, head) scales dequantize in-kernel to match the
+    dequantized-oracle attention."""
+    B, S, H, Hkv, D = 2, 128, 8, 2, 128
+    key = jax.random.PRNGKey(3)
+    q = jax.random.normal(key, (B, H, D), jnp.bfloat16)
+    kf = jax.random.normal(jax.random.fold_in(key, 1), (B, S, Hkv, D)) * 0.5
+    vf = jax.random.normal(jax.random.fold_in(key, 2), (B, S, Hkv, D)) * 0.5
+    ks = jnp.maximum(jnp.max(jnp.abs(kf), axis=-1), 1e-8) / 127.0
+    vs = jnp.maximum(jnp.max(jnp.abs(vf), axis=-1), 1e-8) / 127.0
+    kq = jnp.clip(jnp.round(kf / ks[..., None]), -127, 127).astype(jnp.int8)
+    vq = jnp.clip(jnp.round(vf / vs[..., None]), -127, 127).astype(jnp.int8)
+    lengths = jnp.asarray([50, 128], jnp.int32)
+    got = np.asarray(
+        decode_attention(q, kq, vq, lengths, block_s=64, k_scale=ks, v_scale=vs),
+        np.float32,
+    )
+    kd = (kq.astype(jnp.float32) * ks[..., None]).astype(jnp.bfloat16)
+    vd = (vq.astype(jnp.float32) * vs[..., None]).astype(jnp.bfloat16)
+    want = np.asarray(ref_att(q, kd, vd, lengths))
+    np.testing.assert_allclose(got, want, rtol=5e-2, atol=5e-3)

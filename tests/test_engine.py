@@ -203,3 +203,19 @@ def test_engine_chunked_prefill_matches(params):
         [Request(prompt=prompt[:10], max_new_tokens=4)]
     )
     assert outs[1].tokens == solo[0].tokens
+
+
+def test_engine_kv_quant_close_to_bf16(params):
+    """int8 KV cache: greedy generation stays (near-)identical to the bf16
+    cache on a tiny model, and the quantized cache arrays are actually int8."""
+    reqs = lambda: [Request(prompt=p, max_new_tokens=5) for p in PROMPTS[:3]]
+    a = Engine(params, CFG, slots=2, prefill_buckets=[4, 8]).generate(reqs())
+    eng_q = Engine(params, CFG, slots=2, prefill_buckets=[4, 8], kv_quant=True)
+    assert eng_q.cache.k.dtype == jnp.int8 and eng_q.cache.quantized
+    b = eng_q.generate(reqs())
+    total = agree = 0
+    for ca, cb in zip(a, b):
+        for ta, tb in zip(ca.tokens, cb.tokens):
+            total += 1
+            agree += int(ta == tb)
+    assert agree / total >= 0.8, (agree, total, [c.tokens for c in a], [c.tokens for c in b])

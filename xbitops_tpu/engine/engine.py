@@ -76,6 +76,7 @@ class Engine:
         cache_dtype=jnp.bfloat16,
         decode_burst: int = 1,
         prefill_chunk: int = 512,
+        kv_quant: bool = False,
     ):
         """``decode_burst`` chains that many decode steps in one device
         dispatch (a ``lax.scan``): host<->device round-trip latency amortizes
@@ -83,7 +84,10 @@ class Engine:
         any tokens a slot sampled after its stop condition.
 
         Prompts longer than ``prefill_chunk`` prefill in fixed chunks that
-        attend the cache (O(chunk * S) attention memory instead of O(T^2))."""
+        attend the cache (O(chunk * S) attention memory instead of O(T^2)).
+        ``kv_quant`` stores the KV cache as int8 with per-(token, head)
+        scales: twice the context capacity per HBM byte, near-lossless
+        (a capacity knob — the int8 dequant costs some decode latency)."""
         self.cfg = cfg
         self.slots = slots
         self.mesh = mesh
@@ -116,7 +120,7 @@ class Engine:
         except (ValueError, TypeError):
             pass
 
-        cache = llama.KVCache.init(cfg, slots, dtype=cache_dtype)
+        cache = llama.KVCache.init(cfg, slots, dtype=cache_dtype, quantized=kv_quant)
         if mesh is not None:
             from xbitops_tpu.parallel import model_tp
 

@@ -46,11 +46,17 @@ from xbitops_tpu.kernels import common
 NEG_INF = -1e30
 
 
-def _kernel(bs, rep, Hkv, D, scale, stacked, *refs):
+def _kernel(bs, rep, Hkv, D, scale, stacked, has_scales, *refs):
+    refs = list(refs)
+    lens_ref = refs.pop(0)
     if stacked:
-        lens_ref, _li_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref = refs
-    else:
-        lens_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref = refs
+        refs.pop(0)  # layer-index scalar ref (consumed by the index maps)
+    q_ref, k_ref, v_ref = refs[0], refs[1], refs[2]
+    rest = refs[3:]
+    if has_scales:
+        ks_ref, vs_ref = rest[0], rest[1]
+        rest = rest[2:]
+    o_ref, m_ref, l_ref, acc_ref = rest
     b = pl.program_id(0)
     s = pl.program_id(1)
     length = lens_ref[b]
@@ -65,6 +71,11 @@ def _kernel(bs, rep, Hkv, D, scale, stacked, *refs):
     def _():
         k = (k_ref[0, 0] if stacked else k_ref[0]).astype(jnp.float32)  # (bs,Hkv,D)
         v = (v_ref[0, 0] if stacked else v_ref[0]).astype(jnp.float32)
+        if has_scales:  # int8 cache: dequant blocks in-register
+            ks = (ks_ref[0, 0] if stacked else ks_ref[0]).astype(jnp.float32)
+            vs = (vs_ref[0, 0] if stacked else vs_ref[0]).astype(jnp.float32)
+            k = k * ks[:, :, None]
+            v = v * vs[:, :, None]
         # row i of this block is cache position s*bs + i
         live = (
             s * bs + jax.lax.broadcasted_iota(jnp.int32, (bs, Hkv), 0) < length
@@ -102,12 +113,16 @@ def decode_attention(
     block_s: int = 256,
     interpret: Optional[bool] = None,
     layer_idx: Optional[jax.Array] = None,
+    k_scale: Optional[jax.Array] = None,  # [(L,) B, S, Hkv] for an int8 cache
+    v_scale: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Softmax(q k^T / sqrt(D)) v over each slot's first ``lengths[b]`` cache
-    positions; returns [B, H, D].  HBM reads scale with ``lengths``, not S."""
+    positions; returns [B, H, D].  HBM reads scale with ``lengths``, not S.
+    ``k_scale``/``v_scale`` dequantize an int8 cache block-by-block in-kernel."""
     if interpret is None:
         interpret = common.interpret_default()
     stacked = layer_idx is not None
+    has_scales = k_scale is not None
     B, H, D = q.shape
     S, Hkv = k.shape[-3], k.shape[-2]
     assert H % Hkv == 0
@@ -133,13 +148,18 @@ def decode_attention(
             lambda b, s, lens, li: (li[0], b, clamp(s, lens, b), 0, 0),
             memory_space=pltpu.VMEM,
         )
+        sc_spec = pl.BlockSpec(
+            (1, 1, bs, Hkv),
+            lambda b, s, lens, li: (li[0], b, clamp(s, lens, b), 0),
+            memory_space=pltpu.VMEM,
+        )
         o_spec = pl.BlockSpec(
             (1, Hkv, rep, D), lambda b, s, lens, li: (b, 0, 0, 0),
             memory_space=pltpu.VMEM,
         )
         n_prefetch = 2
-        args = (lengths.astype(jnp.int32),
-                jnp.asarray(layer_idx, jnp.int32).reshape(1), q4, k, v)
+        args = [lengths.astype(jnp.int32),
+                jnp.asarray(layer_idx, jnp.int32).reshape(1), q4, k, v]
     else:
         q_spec = pl.BlockSpec(
             (1, Hkv, rep, D), lambda b, s, lens: (b, 0, 0, 0),
@@ -149,19 +169,28 @@ def decode_attention(
             (1, bs, Hkv, D), lambda b, s, lens: (b, clamp(s, lens, b), 0, 0),
             memory_space=pltpu.VMEM,
         )
+        sc_spec = pl.BlockSpec(
+            (1, bs, Hkv), lambda b, s, lens: (b, clamp(s, lens, b), 0),
+            memory_space=pltpu.VMEM,
+        )
         o_spec = pl.BlockSpec(
             (1, Hkv, rep, D), lambda b, s, lens: (b, 0, 0, 0),
             memory_space=pltpu.VMEM,
         )
         n_prefetch = 1
-        args = (lengths.astype(jnp.int32), q4, k, v)
+        args = [lengths.astype(jnp.int32), q4, k, v]
+
+    in_specs = [q_spec, kv_spec, kv_spec]
+    if has_scales:
+        in_specs += [sc_spec, sc_spec]
+        args += [k_scale, v_scale]
 
     out = pl.pallas_call(
-        functools.partial(_kernel, bs, rep, Hkv, D, D ** -0.5, stacked),
+        functools.partial(_kernel, bs, rep, Hkv, D, D ** -0.5, stacked, has_scales),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=n_prefetch,
             grid=(B, n_blocks),
-            in_specs=[q_spec, kv_spec, kv_spec],
+            in_specs=in_specs,
             out_specs=o_spec,
             scratch_shapes=[
                 pltpu.VMEM((rep, Hkv), jnp.float32),  # running max

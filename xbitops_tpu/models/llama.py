@@ -176,22 +176,48 @@ def init_params(
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class KVCache:
-    """Static-shape cache ``[L, B, S_max, n_kv, head_dim]`` with per-slot lengths."""
+    """Static-shape cache ``[L, B, S_max, n_kv, head_dim]`` with per-slot lengths.
+
+    With ``quantized=True`` at init, k/v store int8 with per-(position, head)
+    absmax scales ``[L, B, S, n_kv]`` — TWICE the context capacity per HBM
+    byte at near-lossless accuracy.  Notes (v5e, measured): the in-kernel
+    int8->f32 conversion costs more VPU time than the halved DMA saves (483
+    vs 219 us/layer-call at len=1000), so this is a capacity knob, not a
+    latency one; and at very large S XLA currently materializes one temporary
+    copy of k+v per step (in-place aliasing of the int8 scatter + custom-call
+    chain fails where the bf16 path aliases cleanly — under investigation),
+    so the practical ceiling is ~half the theoretical 2x capacity gain.
+    """
 
     k: jax.Array
     v: jax.Array
     lengths: jax.Array  # int32 [B]
+    k_scale: Optional[jax.Array] = None  # f32 [L, B, S, n_kv] (int8 cache)
+    v_scale: Optional[jax.Array] = None
+
+    @property
+    def quantized(self) -> bool:
+        return self.k_scale is not None
 
     def tree_flatten(self):
-        return (self.k, self.v, self.lengths), None
+        return (self.k, self.v, self.lengths, self.k_scale, self.v_scale), None
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         return cls(*children)
 
     @staticmethod
-    def init(cfg: LlamaConfig, batch: int, dtype=jnp.bfloat16) -> "KVCache":
+    def init(
+        cfg: LlamaConfig, batch: int, dtype=jnp.bfloat16, quantized: bool = False
+    ) -> "KVCache":
         shape = (cfg.num_layers, batch, cfg.max_seq_len, cfg.num_kv_heads, cfg.head_dim)
+        if quantized:
+            return KVCache(
+                k=jnp.zeros(shape, jnp.int8), v=jnp.zeros(shape, jnp.int8),
+                lengths=jnp.zeros((batch,), jnp.int32),
+                k_scale=jnp.zeros(shape[:-1], jnp.bfloat16),
+                v_scale=jnp.zeros(shape[:-1], jnp.bfloat16),
+            )
         return KVCache(
             k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype),
             lengths=jnp.zeros((batch,), jnp.int32),
@@ -297,16 +323,26 @@ def _attention(q, k, v, mask, scale):
     return out.astype(q.dtype)
 
 
+def _quant_kv(x):
+    """Per-(token, head) absmax int8 quantization of a [B, T, H, D] tensor."""
+    xf = x.astype(jnp.float32)
+    s = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1), 1e-8) / 127.0
+    q = jnp.clip(jnp.round(xf / s[..., None]), -127, 127).astype(jnp.int8)
+    return q, s
+
+
 def _block(
-    layer, cfg: LlamaConfig, rt: Runtime, x, positions, k_all, v_all, li, mask,
+    layer, cfg: LlamaConfig, rt: Runtime, x, positions, kv, li, mask,
     slot_ids=None, self_attend=False,
 ):
     """One transformer block on [B, T, h_local-agnostic].
 
-    ``k_all``/``v_all`` are the FULL stacked caches ``[L, B, S, Hkv, D]``; new
-    k/v scatter directly into layer ``li`` of them (a sparse in-place update
-    on the loop-carried buffers — never a per-layer slice + restack, which
-    would double cache memory and rewrite it every step).
+    ``kv = (k_all, v_all, k_scale_all, v_scale_all)`` are the FULL stacked
+    caches ``[L, B, S, Hkv, D]`` (scales ``[L, B, S, Hkv]`` or None for an
+    unquantized cache); new k/v scatter directly into layer ``li`` of them (a
+    sparse in-place update on the loop-carried buffers — never a per-layer
+    slice + restack, which would double cache memory and rewrite it every
+    step).
 
     ``slot_ids`` maps x's batch rows to cache slots (default: identity).  With
     ``self_attend`` the attention context is the block's own k/v (a fresh
@@ -334,24 +370,51 @@ def _block(
     # Scatter new k/v into the cache at each slot's position.  JAX drops
     # out-of-bounds scatter updates, so positions >= S (padding / inactive
     # slots) write nothing — the engine relies on this for ragged batches.
+    k_all, v_all, ks_all, vs_all = kv
     b_idx = (slot_ids if slot_ids is not None else jnp.arange(B))[:, None]
-    k_all = k_all.at[li, b_idx, positions].set(k.astype(k_all.dtype), mode="drop")
-    v_all = v_all.at[li, b_idx, positions].set(v.astype(v_all.dtype), mode="drop")
+    if ks_all is not None:  # int8 cache: per-(token, head) absmax
+        kq, ks = _quant_kv(k)
+        vq, vs = _quant_kv(v)
+        k_all = k_all.at[li, b_idx, positions].set(kq, mode="drop")
+        v_all = v_all.at[li, b_idx, positions].set(vq, mode="drop")
+        ks_all = ks_all.at[li, b_idx, positions].set(ks.astype(ks_all.dtype), mode="drop")
+        vs_all = vs_all.at[li, b_idx, positions].set(vs.astype(vs_all.dtype), mode="drop")
+    else:
+        k_all = k_all.at[li, b_idx, positions].set(k.astype(k_all.dtype), mode="drop")
+        v_all = v_all.at[li, b_idx, positions].set(v.astype(v_all.dtype), mode="drop")
+
+    def ctx(rows):
+        """Dequantized attention context for cache rows [li] (all or a subset)."""
+        kc, vc = k_all[li], v_all[li]
+        if rows is not None:
+            kc, vc = kc[rows], vc[rows]
+        if ks_all is None:
+            return kc, vc
+        ksc, vsc = ks_all[li], vs_all[li]
+        if rows is not None:
+            ksc, vsc = ksc[rows], vsc[rows]
+        return (
+            kc.astype(jnp.float32) * ksc[..., None],
+            vc.astype(jnp.float32) * vsc[..., None],
+        )
 
     if self_attend:
         att = _attention(q, k, v, mask, D ** -0.5)
     elif slot_ids is not None:
         # x's batch rows map to a subset of cache slots: attend those slots
-        att = _attention(q, k_all[li][slot_ids], v_all[li][slot_ids], mask, D ** -0.5)
+        att = _attention(q, *ctx(slot_ids), mask, D ** -0.5)
     elif T == 1 and cfg.flash_decode and D % 128 == 0:
         # decode: length-aware kernel reads layer li of the stacked cache in
         # place; HBM traffic ~ live lengths, not the S_max allocation
         from xbitops_tpu.kernels.decode_attention import decode_attention
 
         lens_eff = jnp.minimum(positions[:, 0] + 1, k_all.shape[2])
-        att = decode_attention(q[:, 0], k_all, v_all, lens_eff, layer_idx=li)[:, None]
+        att = decode_attention(
+            q[:, 0], k_all, v_all, lens_eff, layer_idx=li,
+            k_scale=ks_all, v_scale=vs_all,
+        )[:, None]
     else:
-        att = _attention(q, k_all[li], v_all[li], mask, D ** -0.5)
+        att = _attention(q, *ctx(None), mask, D ** -0.5)
     x = x + rt.row(att.reshape(B, T, H * D), layer["wo"])
 
     hx = rms_norm(x, layer["ln_mlp"], cfg.rms_eps)
@@ -363,7 +426,7 @@ def _block(
         up = rt.col(hx, layer["w_up"])
     act = (jax.nn.silu(gate.astype(jnp.float32)) * up.astype(jnp.float32)).astype(x.dtype)
     x = x + rt.row(act, layer["w_down"])
-    return x, k_all, v_all
+    return x, (k_all, v_all, ks_all, vs_all)
 
 
 def forward(
@@ -398,11 +461,11 @@ def forward(
         mask = s_idx <= positions[:, :, None]
 
     layers = params["layers"]
-    new_k, new_v = cache.k, cache.v
+    kv = (cache.k, cache.v, cache.k_scale, cache.v_scale)
     if isinstance(layers, (list, tuple)):
         for li, layer in enumerate(layers):
-            x, new_k, new_v = _block(
-                layer, cfg, rt, x, positions, new_k, new_v, li, mask,
+            x, kv = _block(
+                layer, cfg, rt, x, positions, kv, li, mask,
                 slot_ids=slot_ids, self_attend=self_attend,
             )
     else:
@@ -417,20 +480,19 @@ def forward(
         L = cache.k.shape[0]
 
         def body(carry, xs):
-            x, k_all, v_all = carry
+            x, kv = carry
             li, other = xs
             layer = dict(other)
             for key, qtv in qt_stacked.items():
                 layer[key] = IndexedQTensor(qtv, li)
-            x, k_all, v_all = _block(
-                layer, cfg, rt, x, positions, k_all, v_all, li, mask,
+            x, kv = _block(
+                layer, cfg, rt, x, positions, kv, li, mask,
                 slot_ids=slot_ids, self_attend=self_attend,
             )
-            return (x, k_all, v_all), None
+            return (x, kv), None
 
-        (x, new_k, new_v), _ = jax.lax.scan(
-            body, (x, new_k, new_v), (jnp.arange(L), others)
-        )
+        (x, kv), _ = jax.lax.scan(body, (x, kv), (jnp.arange(L), others))
+    new_k, new_v, new_ks, new_vs = kv
 
     x = rms_norm(x, params["ln_final"], cfg.rms_eps)
     logits = _linear(x, params["lm_head"])
@@ -441,6 +503,7 @@ def forward(
     new_cache = KVCache(
         k=new_k, v=new_v,
         lengths=cache.lengths.at[rows].max(jnp.max(valid_next, axis=1)),
+        k_scale=new_ks, v_scale=new_vs,
     )
     return logits, new_cache
 
@@ -494,8 +557,8 @@ def prefill_slot(params, cfg, tokens, true_len, slot, cache, rt=None):
     )
     # Reset the slot's length outright (forward's scatter-max would keep a
     # longer stale length from a previous occupant of this slot).
-    cache = KVCache(
-        k=cache.k, v=cache.v, lengths=cache.lengths.at[slot].set(true_len)
+    cache = dataclasses.replace(
+        cache, lengths=cache.lengths.at[slot].set(true_len)
     )
     last = jax.lax.dynamic_index_in_dim(
         logits[0], jnp.maximum(true_len - 1, 0), axis=0, keepdims=False
@@ -523,7 +586,7 @@ def prefill_slot_chunk(
     positions = jnp.where(pos < true_len, pos, S)[None]
     # reset may be traced (one compiled program for first/later chunks)
     slot_len = jnp.where(jnp.asarray(reset), 0, cache.lengths[slot])
-    cache = KVCache(k=cache.k, v=cache.v, lengths=cache.lengths.at[slot].set(slot_len))
+    cache = dataclasses.replace(cache, lengths=cache.lengths.at[slot].set(slot_len))
     logits, cache = forward(
         params, cfg, tokens[None], cache, positions, rt,
         slot_ids=jnp.full((1,), slot, jnp.int32),

@@ -68,11 +68,14 @@ def param_pspecs(params: dict, axis: str = "model") -> dict:
     )
 
 
-def cache_pspecs(axis: str = "model", data_axis=None) -> llama.KVCache:
+def cache_pspecs(axis: str = "model", data_axis=None, quantized: bool = False) -> llama.KVCache:
+    sc = P(None, data_axis, None, axis) if quantized else None
     return llama.KVCache(
         k=P(None, data_axis, None, axis, None),
         v=P(None, data_axis, None, axis, None),
         lengths=P(data_axis),
+        k_scale=sc,
+        v_scale=sc,
     )
 
 
@@ -84,7 +87,7 @@ def shard_params(params: dict, mesh: Mesh, axis: str = "model") -> dict:
 
 
 def shard_cache(cache: llama.KVCache, mesh: Mesh, axis: str = "model") -> llama.KVCache:
-    specs = cache_pspecs(axis)
+    specs = cache_pspecs(axis, quantized=cache.quantized)
     return jax.tree.map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), cache, specs
     )
@@ -116,10 +119,10 @@ def tp_forward(
         in_specs=(
             param_pspecs(params, axis),
             P(da, None),
-            cache_pspecs(axis, da),
+            cache_pspecs(axis, da, cache.quantized),
             P(da, None),
         ),
-        out_specs=(P(da, None, None), cache_pspecs(axis, da)),
+        out_specs=(P(da, None, None), cache_pspecs(axis, da, cache.quantized)),
         check_vma=False,
     )
     def f(params_l, tokens_l, cache_l, positions_l):
@@ -154,9 +157,9 @@ def tp_prefill_slot_chunk(
         mesh=mesh,
         in_specs=(
             param_pspecs(params, axis), P(None), P(), P(), P(), P(),
-            cache_pspecs(axis),
+            cache_pspecs(axis, quantized=cache.quantized),
         ),
-        out_specs=(P(None), cache_pspecs(axis)),
+        out_specs=(P(None), cache_pspecs(axis, quantized=cache.quantized)),
         check_vma=False,
     )
     def f(params_l, tokens_l, start_l, true_len_l, slot_l, reset_l, cache_l):
@@ -183,8 +186,9 @@ def tp_prefill_slot(
     @partial(
         shard_map,
         mesh=mesh,
-        in_specs=(param_pspecs(params, axis), P(None), P(), P(), cache_pspecs(axis)),
-        out_specs=(P(None), cache_pspecs(axis)),
+        in_specs=(param_pspecs(params, axis), P(None), P(), P(),
+                  cache_pspecs(axis, quantized=cache.quantized)),
+        out_specs=(P(None), cache_pspecs(axis, quantized=cache.quantized)),
         check_vma=False,
     )
     def f(params_l, tokens_l, true_len_l, slot_l, cache_l):
