@@ -51,10 +51,11 @@ def make_decode_runner(cfg):
     return run
 
 
-def time_decode_step(params, cfg, label: str, repeats: int = 3) -> float:
-    """Seconds per decode step (batch B), dispatch overhead differenced out."""
-    cache = llama.KVCache.init(cfg, B)
-    tokens = jnp.zeros((B,), jnp.int32)
+def time_decode_step(params, cfg, label: str, repeats: int = 3, batch=None) -> float:
+    """Seconds per decode step, dispatch overhead differenced out."""
+    nb = batch or B
+    cache = llama.KVCache.init(cfg, nb)
+    tokens = jnp.zeros((nb,), jnp.int32)
     run = make_decode_runner(cfg)
 
     def timed(n, reps):
@@ -76,7 +77,7 @@ def time_decode_step(params, cfg, label: str, repeats: int = 3) -> float:
     t1 = min(t, timed(n, repeats - 1))
     t3 = timed(3 * n, repeats)
     sec = max((t3 - t1) / (2 * n), 1e-9)
-    log(f"[{label}] n={n}: {sec * 1e3:.3f} ms/step ({B / sec:.1f} tok/s)")
+    log(f"[{label}] n={n}: {sec * 1e3:.3f} ms/step ({nb / sec:.1f} tok/s)")
     return sec
 
 
@@ -115,6 +116,19 @@ def main() -> None:
         log(f"full dense baseline failed ({type(e).__name__}: {str(e)[:120]})")
         d_sec = dense_aggregate_baseline(cfg)
 
+    # peak serving throughput at a larger batch (quant only; the dense model
+    # can't fit B=32 alongside its 13.5 GB of weights — not a fair comparator)
+    log("measuring peak-batch decode (B=32)...")
+    qparams2 = synth.random_llama_params(key, cfg, bits=4, group_size=128)
+    qparams2 = llama.stack_layers(qparams2)
+    try:
+        peak_sec = time_decode_step(qparams2, cfg, "4bit-B32", batch=32)
+        peak_tps = 32 / peak_sec
+    except Exception as e:
+        log(f"peak-batch measurement failed: {type(e).__name__}")
+        peak_tps = None
+    del qparams2
+
     speedup = d_sec / q_sec
     result = {
         "metric": "llama7b_4bit_decode_tokens_per_s_per_chip",
@@ -125,6 +139,7 @@ def main() -> None:
         "a16w16_tokens_per_s": round(B / d_sec, 2),
         "decode_batch": B,
         "hbm_gbps": round(hbm_gbps, 1),
+        "peak_tokens_per_s_b32": None if peak_tps is None else round(peak_tps, 1),
     }
     print(json.dumps(result), flush=True)
 

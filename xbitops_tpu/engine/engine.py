@@ -136,8 +136,8 @@ class Engine:
         cfg, mesh, axis = self.cfg, self.mesh, self.axis
 
         if mesh is None:
-            def base_prefill(params, cache, tokens, true_len, slot):
-                return llama.prefill_slot(params, cfg, tokens, true_len, slot, cache)
+            def base_prefill(params, cache, tokens, true_lens, slots):
+                return llama.prefill_slots(params, cfg, tokens, true_lens, slots, cache)
 
             def base_prefill_chunk(params, cache, tokens, start, true_len, slot, reset):
                 return llama.prefill_slot_chunk(
@@ -149,9 +149,9 @@ class Engine:
         else:
             from xbitops_tpu.parallel import model_tp
 
-            def base_prefill(params, cache, tokens, true_len, slot):
-                return model_tp.tp_prefill_slot(
-                    params, cfg, mesh, tokens, true_len, slot, cache, axis
+            def base_prefill(params, cache, tokens, true_lens, slots):
+                return model_tp.tp_prefill_slots(
+                    params, cfg, mesh, tokens, true_lens, slots, cache, axis
                 )
 
             def base_prefill_chunk(params, cache, tokens, start, true_len, slot, reset):
@@ -166,12 +166,12 @@ class Engine:
                 )
 
         @partial(jax.jit, donate_argnums=(1,))
-        def prefill_fn(params, cache, tokens, true_len, slot, key, temp):
-            logits, cache = base_prefill(params, cache, tokens, true_len, slot)
-            tok = sampling.sample_tokens(
-                logits[None], key, temp[None], top_k, top_p
-            )
-            return tok[0], cache
+        def prefill_fn(params, cache, tokens, true_lens, slots, key, temps):
+            """Batched admission: prefill every row in one forward.  Rows with
+            true_len == 0 are padding (their slot index is out of range)."""
+            logits, cache = base_prefill(params, cache, tokens, true_lens, slots)
+            toks = sampling.sample_tokens(logits, key, temps, top_k, top_p)
+            return toks, cache
 
         @partial(jax.jit, donate_argnums=(1,))
         def prefill_chunk_fn(params, cache, tokens, start, true_len, slot, reset,
@@ -220,6 +220,14 @@ class Engine:
     def _split_key(self):
         self._key, k = jax.random.split(self._key)
         return k
+
+    @staticmethod
+    def _admit_slot(b, r, prompt, slot_req, slot_gen, slot_len, temps, active):
+        slot_req[b] = r
+        slot_gen[b] = []
+        slot_len[b] = len(prompt)
+        temps[b] = r.temperature
+        active[b] = True
 
     # --- host-side continuous-batching loop ---
 
@@ -271,20 +279,16 @@ class Engine:
                 cur_tok[b] = tok
 
         while pending or active.any():
-            # admit new requests into free slots
+            # admit new requests into free slots.  Short prompts batch into
+            # ONE prefill dispatch (padded rows are inert); long prompts go
+            # through the chunked path individually.
+            admit = []
             for b in range(self.slots):
                 if not active[b] and pending:
                     r = pending.popleft()
                     prompt = list(r.prompt)
                     if len(prompt) <= self.buckets[-1]:
-                        bucket = self._bucket(len(prompt))
-                        toks = np.zeros(bucket, np.int32)
-                        toks[: len(prompt)] = prompt
-                        tok_dev, self.cache = self._prefill_fn(
-                            self.params, self.cache, jnp.asarray(toks),
-                            jnp.int32(len(prompt)), jnp.int32(b),
-                            self._split_key(), jnp.float32(r.temperature),
-                        )
+                        admit.append((b, r, prompt))
                     else:
                         # long prompt: fixed-size chunks attending the cache
                         C = self.prefill_chunk
@@ -298,12 +302,31 @@ class Engine:
                                 jnp.int32(b), jnp.asarray(ci == 0),
                                 self._split_key(), jnp.float32(r.temperature),
                             )
-                    slot_req[b] = r
-                    slot_gen[b] = []
-                    slot_len[b] = len(prompt)
-                    temps[b] = r.temperature
-                    active[b] = True
-                    accept(b, int(tok_dev))
+                        self._admit_slot(b, r, prompt, slot_req, slot_gen,
+                                         slot_len, temps, active)
+                        accept(b, int(tok_dev))
+
+            if admit:
+                n = self.slots  # fixed row count: one compiled program
+                bucket = self._bucket(max(len(p) for _, _, p in admit))
+                toks = np.zeros((n, bucket), np.int32)
+                lens = np.zeros(n, np.int32)
+                slots_arr = np.full(n, self.slots, np.int32)  # OOB = inert row
+                row_temps = np.zeros(n, np.float32)
+                for i, (b, r, prompt) in enumerate(admit):
+                    toks[i, : len(prompt)] = prompt
+                    lens[i] = len(prompt)
+                    slots_arr[i] = b
+                    row_temps[i] = r.temperature
+                toks_dev, self.cache = self._prefill_fn(
+                    self.params, self.cache, jnp.asarray(toks), jnp.asarray(lens),
+                    jnp.asarray(slots_arr), self._split_key(), jnp.asarray(row_temps),
+                )
+                toks_np = np.asarray(jax.device_get(toks_dev))
+                for i, (b, r, prompt) in enumerate(admit):
+                    self._admit_slot(b, r, prompt, slot_req, slot_gen,
+                                     slot_len, temps, active)
+                    accept(b, int(toks_np[i]))
 
             if not active.any():
                 continue

@@ -566,6 +566,34 @@ def prefill_slot(params, cfg, tokens, true_len, slot, cache, rt=None):
     return last, cache
 
 
+def prefill_slots(params, cfg, tokens, true_lens, slots, cache, rt=None):
+    """Batched :func:`prefill_slot`: n requests into n cache slots in ONE
+    forward (continuous-batching admission without per-request dispatches).
+
+    ``tokens`` int32 [n, T] zero-padded, ``true_lens``/``slots`` int32 [n].
+    Rows with ``true_len == 0`` are inert padding — point their slot out of
+    range (e.g. n_slots) and the scatters drop them.  Returns last-token
+    logits [n, V] and the updated cache.
+    """
+    n, T = tokens.shape
+    S = cache.k.shape[2]
+    pos = jnp.arange(T)[None]
+    positions = jnp.where(pos < true_lens[:, None], pos, S)
+    logits, cache = forward(
+        params, cfg, tokens, cache, positions, rt,
+        slot_ids=slots.astype(jnp.int32), self_attend=True,
+    )
+    # Reset each slot's length outright (a recycled slot may carry a longer
+    # stale length); out-of-range dummy slots drop.
+    cache = dataclasses.replace(
+        cache,
+        lengths=cache.lengths.at[slots].set(true_lens.astype(jnp.int32), mode="drop"),
+    )
+    idx = jnp.maximum(true_lens - 1, 0)
+    last = jnp.take_along_axis(logits, idx[:, None, None], axis=1)[:, 0]
+    return last, cache
+
+
 def prefill_slot_chunk(
     params, cfg, tokens, start, true_len, slot, cache, rt=None, reset=False
 ):

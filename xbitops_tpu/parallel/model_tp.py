@@ -174,6 +174,31 @@ def tp_prefill_slot_chunk(
     )
 
 
+def tp_prefill_slots(
+    params, cfg, mesh, tokens, true_lens, slots, cache, axis: str = "model"
+):
+    """Sharded :func:`~xbitops_tpu.models.llama.prefill_slots` (batched
+    admission: n requests into n cache slots in one forward)."""
+    tp = mesh.shape[axis]
+    local_cfg = cfg.local(tp)
+    rt = llama.TPRuntime(axis)
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(param_pspecs(params, axis), P(None, None), P(None), P(None),
+                  cache_pspecs(axis, quantized=cache.quantized)),
+        out_specs=(P(None, None), cache_pspecs(axis, quantized=cache.quantized)),
+        check_vma=False,
+    )
+    def f(params_l, tokens_l, lens_l, slots_l, cache_l):
+        return llama.prefill_slots(
+            params_l, local_cfg, tokens_l, lens_l, slots_l, cache_l, rt
+        )
+
+    return f(params, tokens, jnp.asarray(true_lens), jnp.asarray(slots), cache)
+
+
 def tp_prefill_slot(
     params, cfg, mesh, tokens, true_len, slot, cache, axis: str = "model"
 ):
