@@ -66,15 +66,21 @@ def chunk_plan(plane_bits, tile_k: int, g_tile: int) -> int:
     return cs
 
 
+def extract_plane_chunk(blk, pb: int, c: int, cs: int, tile_k: int):
+    """One plane's integer values ``(cs, tn)`` for local rows
+    [c*cs, (c+1)*cs) — a static slice + shift + mask."""
+    wt = tile_k // (32 // pb)
+    j, r0 = divmod(c * cs, wt)
+    return (blk[r0 : r0 + cs, :] >> (pb * j)) & ((1 << pb) - 1)
+
+
 def extract_chunk(plane_blocks, plane_bits, c: int, cs: int, tile_k: int):
     """Integer values ``(cs, tn) int32`` for local rows [c*cs, (c+1)*cs) of a
     K-tile, combined across planes.  All slices/shifts are static."""
     wq = None
     shift = 0
     for blk, pb in zip(plane_blocks, plane_bits):
-        wt = tile_k // (32 // pb)
-        j, r0 = divmod(c * cs, wt)
-        vals = (blk[r0 : r0 + cs, :] >> (pb * j)) & ((1 << pb) - 1)
+        vals = extract_plane_chunk(blk, pb, c, cs, tile_k)
         part = vals if shift == 0 else (vals << shift)
         wq = part if wq is None else (wq | part)
         shift += pb

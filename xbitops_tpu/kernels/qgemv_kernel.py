@@ -78,13 +78,21 @@ def _kernel(plane_bits, tile_k, gt, cs, compute_dtype, stacked, *refs):
 
     total = jnp.zeros_like(acc_ref)
     for c in range(tile_k // cs):
-        wq = common.extract_chunk(blocks, plane_bits, c, cs, tile_k)
-        w = wq.astype(compute_dtype)
         a_c = a[:, c * cs : (c + 1) * cs]
-        d = jnp.dot(
-            a_c.astype(compute_dtype), w,
-            preferred_element_type=jnp.float32, precision=prec,
-        )
+        a_cd = a_c.astype(compute_dtype)
+        # multi-plane widths (3/5/6/7): per-plane dots combined linearly on
+        # the OUTPUT (wq = sum_p vals_p << off_p, so a@wq = sum_p 2^off a@v_p)
+        # — skips the per-value shift-and-or recombination on the VPU
+        d = None
+        shift = 0
+        for blk, pb in zip(blocks, plane_bits):
+            vals = common.extract_plane_chunk(blk, pb, c, cs, tile_k)
+            dp = jnp.dot(
+                a_cd, vals.astype(compute_dtype),
+                preferred_element_type=jnp.float32, precision=prec,
+            )
+            d = dp if d is None else d + float(1 << shift) * dp
+            shift += pb
         gi = (c * cs) // g_tile
         # out += s_g * (a_g @ wq_g) - sum(a_g) * sz_g, the zero term in true
         # f32 on the VPU (chunk sums grow ~sqrt(g); bf16 rounding here would
