@@ -177,3 +177,25 @@ def test_stacked_tp_prefill():
     np.testing.assert_allclose(
         np.asarray(logits, np.float32), np.asarray(ref, np.float32), rtol=5e-2, atol=5e-2
     )
+
+
+def test_flash_decode_matches_xla_attention():
+    """At S_max > 256 the decode step uses the length-aware Pallas kernel;
+    its logits must match the masked-XLA attention path."""
+    import dataclasses as dc
+
+    cfg_f = dc.replace(CFG, max_seq_len=512, flash_decode=True)
+    cfg_x = dc.replace(CFG, max_seq_len=512, flash_decode=False)
+    params = llama.init_params(jax.random.PRNGKey(5), cfg_f, bits=8, group_size=32)
+    B, T = 2, 6
+    tokens = jax.random.randint(jax.random.PRNGKey(6), (B, T), 0, CFG.vocab_size)
+    cache_f = llama.KVCache.init(cfg_f, B)
+    cache_x = llama.KVCache.init(cfg_x, B)
+    _, cache_f = llama.prefill(params, cfg_f, tokens, cache_f)
+    _, cache_x = llama.prefill(params, cfg_x, tokens, cache_x)
+    nxt = jnp.asarray([3, 7], jnp.int32)
+    lf, _ = llama.decode_step(params, cfg_f, nxt, cache_f)
+    lx, _ = llama.decode_step(params, cfg_x, nxt, cache_x)
+    np.testing.assert_allclose(
+        np.asarray(lf, np.float32), np.asarray(lx, np.float32), rtol=3e-2, atol=3e-2
+    )

@@ -403,9 +403,12 @@ def _block(
     elif slot_ids is not None:
         # x's batch rows map to a subset of cache slots: attend those slots
         att = _attention(q, *ctx(slot_ids), mask, D ** -0.5)
-    elif T == 1 and cfg.flash_decode and D % 128 == 0:
+    elif T == 1 and cfg.flash_decode and D % 128 == 0 and k_all.shape[2] > 256:
         # decode: length-aware kernel reads layer li of the stacked cache in
-        # place; HBM traffic ~ live lengths, not the S_max allocation
+        # place; HBM traffic ~ live lengths, not the S_max allocation.  At
+        # small allocations (S <= 256) XLA's one-shot attention is faster
+        # than the blocked kernel's fixed per-program overhead — static
+        # heuristic on the cache capacity.
         from xbitops_tpu.kernels.decode_attention import decode_attention
 
         lens_eff = jnp.minimum(positions[:, 0] + 1, k_all.shape[2])
