@@ -29,7 +29,7 @@ def _load_any(path: str, tp: int = 1, max_seq_len=None):
 
     p = Path(path)
     if (p / "manifest.json").exists():
-        params = load_packed(str(p))
+        params = load_packed(str(p), tp=tp)
         cfg = llama_config_from_hf(
             json.loads((p / "config.json").read_text()), max_seq_len
         )
@@ -44,7 +44,7 @@ def cmd_convert(args) -> int:
 
     t0 = time.time()
     params, cfg = load_autogptq(args.ckpt, tp=args.tp)
-    save_packed(params, args.out)
+    save_packed(params, args.out, tp=args.tp)
     # carry model config + tokenizer alongside the packed arrays
     src = Path(args.ckpt)
     for name in ("config.json", "quantize_config.json", "tokenizer.json",

@@ -31,8 +31,9 @@ def sample_tokens(
         sorted_logits = jnp.sort(scaled, axis=-1)[:, ::-1]
         probs = jax.nn.softmax(sorted_logits, axis=-1)
         cum = jnp.cumsum(probs, axis=-1)
-        # keep the smallest prefix with cumulative prob >= top_p (always >= 1 tok)
-        keep = cum - probs < top_p
+        # keep the smallest prefix with cumulative prob >= top_p (always >= 1 tok
+        # — force-keep the argmax so top_p <= 0 can't zero out every row)
+        keep = (cum - probs < top_p).at[:, 0].set(True)
         cutoff = jnp.min(jnp.where(keep, sorted_logits, jnp.inf), axis=-1)[:, None]
         scaled = jnp.where(scaled < cutoff, -jnp.inf, scaled)
     sampled = jax.random.categorical(key, scaled, axis=-1)

@@ -43,6 +43,7 @@ def _encode(node: Any, path: str, arrays: dict) -> dict:
             "K": node.K,
             "K_logical": node.K_logical,
             "N_logical": node.N_logical,
+            "value_bits": node.value_bits,
         }
     if isinstance(node, dict):
         return {
@@ -74,6 +75,7 @@ def _decode(meta: dict, path: str, load_array) -> Any:
             K_logical=meta["K_logical"],
             perm=load_array(f"{path}.perm") if meta["has_perm"] else None,
             N_logical=meta.get("N_logical"),
+            value_bits=meta.get("value_bits"),
         )
     if kind == "dict":
         return {k: _decode(m, f"{path}.{k}", load_array) for k, m in meta["items"].items()}
@@ -87,8 +89,13 @@ def _decode(meta: dict, path: str, load_array) -> Any:
 _VIEW_FOR_WIDTH = {1: np.uint8, 2: np.uint16, 4: np.uint32, 8: np.uint64}
 
 
-def save_packed(params: Any, path: str) -> None:
-    """Write a packed parameter pytree to ``path`` (a directory)."""
+def save_packed(params: Any, path: str, tp: int = 1) -> None:
+    """Write a packed parameter pytree to ``path`` (a directory).
+
+    ``tp`` records the tensor-parallel degree the tree was packed for
+    (row-sharded QTensors are shard-stacked per ``tp``); :func:`load_packed`
+    refuses a mismatched request instead of failing later with an obscure
+    shard-shape error."""
     p = Path(path)
     p.mkdir(parents=True, exist_ok=True)
     arrays: dict = {}
@@ -100,18 +107,29 @@ def save_packed(params: Any, path: str) -> None:
             arr = arr.view(_VIEW_FOR_WIDTH[arr.dtype.itemsize])
         np.save(p / f"{name}.npy", arr, allow_pickle=False)
     (p / "manifest.json").write_text(
-        json.dumps({"version": _FORMAT_VERSION, "tree": tree, "dtypes": dtypes})
+        json.dumps(
+            {"version": _FORMAT_VERSION, "tp": tp, "tree": tree, "dtypes": dtypes}
+        )
     )
 
 
-def load_packed(path: str, to_device: bool = True) -> Any:
-    """Read a packed parameter pytree written by :func:`save_packed`."""
+def load_packed(path: str, to_device: bool = True, tp: int | None = None) -> Any:
+    """Read a packed parameter pytree written by :func:`save_packed`.
+
+    ``tp`` (if given) must equal the degree recorded at pack time — a
+    tp=1-packed dir cannot serve a tp=8 mesh and vice versa."""
     import ml_dtypes  # noqa: F401  (registers bfloat16 etc. with numpy)
 
     p = Path(path)
     manifest = json.loads((p / "manifest.json").read_text())
     if manifest["version"] != _FORMAT_VERSION:
         raise ValueError(f"unknown packed-checkpoint version {manifest['version']}")
+    packed_tp = manifest.get("tp", 1)
+    if tp is not None and tp != packed_tp:
+        raise ValueError(
+            f"checkpoint at {path} was packed for tp={packed_tp}, "
+            f"requested tp={tp}; re-run convert with --tp {tp}"
+        )
     dtypes = manifest.get("dtypes", {})
 
     def load_array(name: str):

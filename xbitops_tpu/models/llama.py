@@ -83,6 +83,12 @@ def interleave_order(sizes, tp: int):
     import numpy as np
 
     offs = np.cumsum([0] + list(sizes[:-1]))
+    for sz in sizes:
+        if sz % tp:
+            raise ValueError(
+                f"fused block of size {sz} does not split evenly over tp={tp}; "
+                f"a truncated interleave would corrupt the packed checkpoint"
+            )
     idx = []
     for s in range(tp):
         for off, sz in zip(offs, sizes):

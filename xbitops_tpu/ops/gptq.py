@@ -62,6 +62,11 @@ def gptq_quantize_weight(
     (with the same ``perm``) or compare against RTN.
     """
     K, N = w.shape
+    if K % group_size:
+        raise ValueError(
+            f"K={K} must be a multiple of group_size={group_size} "
+            f"(pad the weight rows first)"
+        )
     bs = min(block_size, group_size, K)
     if K % bs or group_size % bs:
         raise ValueError(f"K={K} and group_size={group_size} must be multiples "

@@ -75,6 +75,12 @@ def squeeze_row_shard(qt: QTensor) -> QTensor:
     """Inside shard_map: drop the (length-1) leading shard axis, yielding the
     self-consistent local QTensor (the stacked metadata already describes one
     shard)."""
+    if qt.planes[0].shape[0] != 1:
+        raise ValueError(
+            f"local row-shard axis is {qt.planes[0].shape[0]}, expected 1 — the "
+            f"QTensor's shard count does not match the mesh axis it was mapped "
+            f"over (was the checkpoint packed for a different --tp?)"
+        )
     return dataclasses.replace(
         qt,
         planes=tuple(p[0] for p in qt.planes),
