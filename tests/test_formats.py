@@ -172,3 +172,41 @@ def test_min_tile_k_enforced():
             jnp.zeros((256, 128), jnp.int32), jnp.ones((4, 128)),
             jnp.zeros((4, 128), jnp.int32), bits=5, group_size=64, tile_k=64,
         )
+
+
+@pytest.mark.parametrize("bits", [3, 5, 6, 7])
+def test_storage_bits_pow2_padding(bits):
+    """Pad-to-pow2 storage: same values/scales in the next power-of-two's
+    planes — dequant identical, kernels run the single/fewer-plane fast path."""
+    import xbitops_tpu as xb
+
+    rng = np.random.default_rng(bits)
+    w = (rng.standard_normal((256, 128)) * 0.1).astype(np.float32)
+    qt_p = xb.quantize_array(jnp.asarray(w), bits, 64, storage_bits="packed")
+    qt_a = xb.quantize_array(jnp.asarray(w), bits, 64, storage_bits="auto")
+    assert qt_p.bits == bits and qt_p.value_bits is None
+    assert qt_a.bits == formats.POW2_STORAGE[bits] and qt_a.value_bits == bits
+    wp = np.asarray(formats.dequant_qtensor_reference(qt_p, out_dtype=jnp.float32))
+    wa = np.asarray(formats.dequant_qtensor_reference(qt_a, out_dtype=jnp.float32))
+    np.testing.assert_array_equal(wp, wa)
+    a = (rng.standard_normal((4, 256)) * 0.5).astype(np.float32)
+    gp = np.asarray(xb.qmatmul(jnp.asarray(a), qt_p, out_dtype=jnp.float32, precise=True))
+    ga = np.asarray(xb.qmatmul(jnp.asarray(a), qt_a, out_dtype=jnp.float32, precise=True))
+    np.testing.assert_allclose(gp, ga, rtol=1e-5, atol=3e-4)
+
+
+def test_storage_bits_roundtrip_checkpoint(tmp_path):
+    """value_bits survives save_packed/load_packed."""
+    import xbitops_tpu as xb
+    from xbitops_tpu.io import load_packed, save_packed
+
+    w = jnp.asarray(np.random.default_rng(0).standard_normal((256, 128)) * 0.1,
+                    jnp.float32)
+    qt = xb.quantize_array(w, 3, 64, storage_bits="auto")
+    save_packed({"w": qt}, str(tmp_path / "ck"))
+    back = load_packed(str(tmp_path / "ck"))["w"]
+    assert back.bits == 4 and back.value_bits == 3
+    np.testing.assert_array_equal(
+        np.asarray(formats.dequant_qtensor_reference(qt, out_dtype=jnp.float32)),
+        np.asarray(formats.dequant_qtensor_reference(back, out_dtype=jnp.float32)),
+    )

@@ -122,3 +122,32 @@ def test_oracle_path_matches_kernel():
     no_kernel = np.asarray(xb.qmatmul(a, qt, out_dtype=jnp.float32, use_kernel=False))
     kernel = np.asarray(xb.qmatmul(a, qt, out_dtype=jnp.float32, precise=True))
     np.testing.assert_allclose(no_kernel, kernel, rtol=1e-5, atol=3e-4)
+
+
+@pytest.mark.parametrize("bits", [2, 4, 8])
+def test_qmatmul_a8(bits):
+    # a8 kernel vs the fake-quant oracle (use_kernel=False, a8=True): both
+    # quantize activations per-row to int8, so they agree to f32 rounding.
+    a, qt, _ = _case(24, 512, 256, bits, 128, seed=bits)
+    ref = np.asarray(xb.qmatmul(a, qt, out_dtype=jnp.float32, use_kernel=False, a8=True))
+    got = np.asarray(xb.qmatmul(a, qt, out_dtype=jnp.float32, a8=True))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=3e-4)
+    # vs full precision: bounded by int8 activation rounding (~1% class)
+    full = np.asarray(xb.qmatmul(a, qt, out_dtype=jnp.float32, use_kernel=False))
+    rel = np.abs(got - full).max() / (np.abs(full).max() + 1e-9)
+    assert rel < 0.03, rel
+
+
+def test_qmatmul_a8_stacked():
+    # stacked (scalar-prefetch layer indexing) works with the a8 kernel
+    import jax
+
+    a, qt0, _ = _case(32, 256, 128, 4, 128, seed=0)
+    _, qt1, _ = _case(32, 256, 128, 4, 128, seed=1)
+    stacked = jax.tree.map(lambda x, y: jnp.stack([x, y]), qt0, qt1)
+    for li, qt in ((0, qt0), (1, qt1)):
+        ref = np.asarray(xb.qmatmul(a, qt, out_dtype=jnp.float32, use_kernel=False, a8=True))
+        got = np.asarray(
+            xb.qmatmul(a, stacked, out_dtype=jnp.float32, a8=True, layer=jnp.int32(li))
+        )
+        np.testing.assert_allclose(got, ref, rtol=1e-5, atol=3e-4)

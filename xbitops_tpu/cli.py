@@ -43,7 +43,7 @@ def cmd_convert(args) -> int:
     from xbitops_tpu.io import load_autogptq, save_packed
 
     t0 = time.time()
-    params, cfg = load_autogptq(args.ckpt, tp=args.tp)
+    params, cfg = load_autogptq(args.ckpt, tp=args.tp, storage_bits=args.storage)
     save_packed(params, args.out, tp=args.tp)
     # carry model config + tokenizer alongside the packed arrays
     src = Path(args.ckpt)
@@ -171,6 +171,10 @@ def main(argv=None) -> int:
     c.add_argument("--ckpt", required=True)
     c.add_argument("--out", required=True)
     c.add_argument("--tp", type=int, default=1)
+    c.add_argument("--storage", choices=["auto", "packed"], default="auto",
+                   help="plane storage width: 'auto' pads 3/5/6/7-bit values "
+                        "to the next power of two for kernel speed (more "
+                        "bytes); 'packed' keeps exact b-bit storage")
     c.set_defaults(fn=cmd_convert)
 
     g = sub.add_parser("generate", help="run the decode engine")

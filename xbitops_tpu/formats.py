@@ -83,6 +83,28 @@ PLANE_DECOMP: dict[int, Tuple[int, ...]] = {
 
 SUPPORTED_BITS = tuple(sorted(PLANE_DECOMP))
 
+# Storage-width policy.  Multi-plane widths (3/5/6/7) decode slower than the
+# next power-of-two width (one dot + one extraction per plane per chunk); for
+# speed-critical deployments the quantized VALUES stay b-bit but are STORED in
+# the next power-of-two's planes — trading bytes (4/3x for 3-bit, 8/b for
+# 5/6/7) for the single-plane kernel's wall-clock.  ``"auto"`` applies the
+# measured-on-v5e win set below; ``"packed"`` keeps exact b-bit storage.
+POW2_STORAGE = {1: 1, 2: 2, 3: 4, 4: 4, 5: 8, 6: 8, 7: 8, 8: 8}
+AUTO_PAD_WIDTHS = frozenset({3, 5, 6, 7})
+
+
+def resolve_storage_bits(bits: int, storage_bits) -> int:
+    """Resolve a ``storage_bits`` spec (None/"packed", "auto", or an int) to the
+    plane width actually used for packing."""
+    if storage_bits in (None, "packed"):
+        return bits
+    if storage_bits == "auto":
+        return POW2_STORAGE[bits] if bits in AUTO_PAD_WIDTHS else bits
+    sb = int(storage_bits)
+    if sb not in PLANE_DECOMP or sb < bits:
+        raise ValueError(f"storage_bits={storage_bits} invalid for bits={bits}")
+    return sb
+
 
 def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
@@ -371,6 +393,9 @@ class QTensor:
     K_logical: int  # rows before padding (== K unless padded)
     perm: Optional[jax.Array] = None  # int32[K_logical] act-order permutation
     N_logical: Optional[int] = None  # columns before lane padding (None = N)
+    # Quantization width when stored wider than quantized (pad-to-pow2 storage;
+    # see resolve_storage_bits).  None means values use the full `bits` range.
+    value_bits: Optional[int] = None
 
     @property
     def N(self) -> int:
@@ -419,16 +444,19 @@ def tile_scales(scales: jax.Array, tile_k: int, group_size: int, K: int) -> jax.
 
 def _qtensor_flatten(qt: QTensor):
     children = (qt.planes, qt.scales, qt.scale_zeros, qt.perm)
-    aux = (qt.bits, qt.group_size, qt.tile_k, qt.K, qt.K_logical, qt.N_logical)
+    aux = (
+        qt.bits, qt.group_size, qt.tile_k, qt.K, qt.K_logical, qt.N_logical,
+        qt.value_bits,
+    )
     return children, aux
 
 
 def _qtensor_unflatten(aux, children):
     planes, scales, scale_zeros, perm = children
-    bits, group_size, tile_k, K, K_logical, N_logical = aux
+    bits, group_size, tile_k, K, K_logical, N_logical, value_bits = aux
     return QTensor(
         tuple(planes), scales, scale_zeros, bits, group_size, tile_k, K,
-        K_logical, perm, N_logical,
+        K_logical, perm, N_logical, value_bits,
     )
 
 
@@ -445,15 +473,25 @@ def make_qtensor(
     tile_k: Optional[int] = None,
     perm: Optional[jax.Array] = None,
     scale_store_dtype=jnp.float32,
+    storage_bits=None,
 ) -> QTensor:
     """Build a QTensor from unpacked integer values + per-group scale/zero.
 
     ``scale_zeros`` is computed as ``round_to(scales.dtype, s*(z+bias))`` then stored
     in ``scale_store_dtype`` so fp16-checkpoint numerics survive exactly (mirrors the
     reference's half-precision ``-s*z`` operand, ``unpack_weight_2_to_7.cu:64,75``).
+
+    ``storage_bits`` (None/"packed" | "auto" | int): plane width to store at —
+    "auto" pads multi-plane widths (3/5/6/7) to the next power of two for the
+    single-plane kernel's speed (see ``resolve_storage_bits``); the quantized
+    values and scale/zero math are unchanged either way.
     """
     K_logical, N = wq.shape
     g = group_size
+    value_bits = None
+    sb = resolve_storage_bits(bits, storage_bits)
+    if sb != bits:
+        value_bits, bits = bits, sb
     tile_k = tile_k or default_tile_k(_round_up(K_logical, min_tile_k(bits)), g, bits)
     if not _tile_group_compatible(tile_k, g):
         raise ValueError(
@@ -493,6 +531,7 @@ def make_qtensor(
         K_logical=K_logical,
         perm=perm,
         N_logical=N_logical,
+        value_bits=value_bits,
     )
 
 
@@ -511,6 +550,7 @@ def from_gptq(
     g_idx: Optional[jax.Array] = None,
     tile_k: Optional[int] = None,
     scale_store_dtype=jnp.float32,
+    storage_bits=None,
 ) -> QTensor:
     """Convert a GPTQ-format checkpoint tensor to the TPU-native layout.
 
@@ -529,6 +569,7 @@ def from_gptq(
     return make_qtensor(
         wq, scales, zeros, bits, group_size, add_zero_bias,
         tile_k=tile_k, perm=perm, scale_store_dtype=scale_store_dtype,
+        storage_bits=storage_bits,
     )
 
 
@@ -542,6 +583,7 @@ def make_row_sharded_qtensor(
     add_zero_bias: int = 0,
     tile_k: Optional[int] = None,
     scale_store_dtype=jnp.float32,
+    storage_bits=None,
 ) -> QTensor:
     """Pack ``wq[K, N]`` for **row-parallel** execution over ``row_shards`` devices.
 
@@ -568,7 +610,8 @@ def make_row_sharded_qtensor(
         raise ValueError(
             f"shard-local group size gcd({group_size}, {Ks}) = {g_local} < 16"
         )
-    tile = tile_k or default_tile_k(Ks, g_local, bits)
+    sb = resolve_storage_bits(bits, storage_bits)
+    tile = tile_k or default_tile_k(Ks, g_local, sb)
     shards = []
     row0 = np.arange(0, Ks, g_local)
     for i in range(row_shards):
@@ -579,7 +622,7 @@ def make_row_sharded_qtensor(
                 jnp.take(scales, gidx, axis=0),
                 jnp.take(zeros, gidx, axis=0),
                 bits, g_local, add_zero_bias, tile_k=tile,
-                scale_store_dtype=scale_store_dtype,
+                scale_store_dtype=scale_store_dtype, storage_bits=sb,
             )
         )
     first = shards[0]
@@ -589,13 +632,14 @@ def make_row_sharded_qtensor(
         ),
         scales=jnp.stack([s.scales for s in shards]),
         scale_zeros=jnp.stack([s.scale_zeros for s in shards]),
-        bits=bits,
+        bits=first.bits,
         group_size=g_local,
         tile_k=first.tile_k,
         K=first.K,
         K_logical=first.K_logical,
         perm=None,
         N_logical=first.N_logical,
+        value_bits=first.value_bits,
     )
 
 

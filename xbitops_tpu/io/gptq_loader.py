@@ -75,6 +75,7 @@ def _to_qtensor(
     add_zero_bias: int,
     tp: int,
     scale_store_dtype,
+    storage_bits=None,
 ):
     qweight = jnp.asarray(tensors[f"{prefix}.qweight"])
     scales = jnp.asarray(tensors[f"{prefix}.scales"])
@@ -97,11 +98,12 @@ def _to_qtensor(
         return formats.make_row_sharded_qtensor(
             wq, scales, zeros, bits, group_size, tp,
             add_zero_bias=add_zero_bias, scale_store_dtype=scale_store_dtype,
+            storage_bits=storage_bits,
         )
     return formats.from_gptq(
         qweight, scales, qzeros, bits, group_size, in_features,
         add_zero_bias=add_zero_bias, g_idx=g_idx,
-        scale_store_dtype=scale_store_dtype,
+        scale_store_dtype=scale_store_dtype, storage_bits=storage_bits,
     )
 
 
@@ -130,6 +132,7 @@ def load_autogptq(
     dtype=jnp.bfloat16,
     scale_store_dtype=jnp.float32,
     fuse: bool = True,
+    storage_bits=None,
 ) -> Tuple[dict, LlamaConfig]:
     """Load an AutoGPTQ Llama checkpoint directory into (params, config).
 
@@ -158,7 +161,7 @@ def load_autogptq(
         if f"{prefix}.qweight" in tensors:
             return _to_qtensor(
                 tensors, prefix, k_dim, bits, group_size, add_zero_bias,
-                tp if row_parallel else 1, scale_store_dtype,
+                tp if row_parallel else 1, scale_store_dtype, storage_bits,
             )
         # dense fallback (e.g. lm_head kept fp16 in many GPTQ checkpoints);
         # HF stores [out, in] — transpose to [in, out]

@@ -74,6 +74,37 @@ def extract_plane_chunk(blk, pb: int, c: int, cs: int, tile_k: int):
     return (blk[r0 : r0 + cs, :] >> (pb * j)) & ((1 << pb) - 1)
 
 
+def extract_plane_chunk_scaled(blk, pb: int, c: int, cs: int, tile_k: int):
+    """One plane's integer values for local rows [c*cs, (c+1)*cs), **left in
+    place at their packed bit offset**: returns ``(vals << (pb*j), 2.0**-(pb*j))``
+    so callers fold the inverse power of two into the (per-chunk-constant)
+    output scale instead of shifting every lane.
+
+    One VPU op per extracted value (mask for inner slots, logical shift for the
+    top slot — which needs no mask) versus two for
+    :func:`extract_plane_chunk`; exact powers of two make the folded scaling
+    bit-identical to shifting first.  This is the TPU answer to the
+    reference's per-byte nibble decode (``gemv_w4a16_pt.cu:84-95``): the
+    decode cost is what bounds the 4-bit stream below HBM speed, so every
+    lane-op counts.
+
+    Values stay exact in bf16: ``q << s`` needs only ``pb <= 8`` mantissa
+    bits.  Top slot of a word is extracted with ``shift_right_logical`` (the
+    sign bit would otherwise leak through an arithmetic shift or a convert).
+    """
+    wt = tile_k // (32 // pb)
+    j, r0 = divmod(c * cs, wt)
+    rows = blk[r0 : r0 + cs, :]
+    n_slots = 32 // pb
+    sh = pb * j
+    if j == n_slots - 1:
+        # top slot: logical right shift both isolates and normalizes
+        return jax.lax.shift_right_logical(rows, sh), 1.0
+    if j == 0:
+        return rows & ((1 << pb) - 1), 1.0
+    return rows & (((1 << pb) - 1) << sh), float(2.0 ** (-sh))
+
+
 def extract_chunk(plane_blocks, plane_bits, c: int, cs: int, tile_k: int):
     """Integer values ``(cs, tn) int32`` for local rows [c*cs, (c+1)*cs) of a
     K-tile, combined across planes.  All slices/shifts are static."""

@@ -65,6 +65,12 @@ def _kernel(plane_bits, tile_k, gt, cs, compute_dtype, stacked, *refs):
     g_tile = tile_k // gt  # rows per scale row within this tile
     blocks = [(r[0] if stacked else r[...]) for r in plane_refs]
     a = a_ref[...]
+    # Weight chunks convert int32 -> compute dtype (bf16 fast path: exact for
+    # our <= 8-significant-bit values).  Measured dead end: converting to f32
+    # and letting the MXU truncate ("one VPU op instead of two") makes the
+    # whole kernel ~2-4x SLOWER on v5e — f32 MXU operands don't run at bf16
+    # rate even at default precision.
+    w_dtype = compute_dtype
 
     def s_row(ref, gi):
         return (ref[0, 0, gi, :] if stacked else ref[0, gi, :])[None, :].astype(
@@ -79,19 +85,24 @@ def _kernel(plane_bits, tile_k, gt, cs, compute_dtype, stacked, *refs):
     total = jnp.zeros_like(acc_ref)
     for c in range(tile_k // cs):
         a_c = a[:, c * cs : (c + 1) * cs]
-        a_cd = a_c.astype(compute_dtype)
+        a_cd = a_c.astype(w_dtype)
         # multi-plane widths (3/5/6/7): per-plane dots combined linearly on
         # the OUTPUT (wq = sum_p vals_p << off_p, so a@wq = sum_p 2^off a@v_p)
-        # — skips the per-value shift-and-or recombination on the VPU
+        # — skips the per-value shift-and-or recombination on the VPU.
+        # Within a plane, values are extracted mask-only at their packed bit
+        # offset and the 2^-(pb*j) slot factor (exact) is folded into the same
+        # output combination — ~2 VPU ops/weight instead of 3.
         d = None
         shift = 0
         for blk, pb in zip(blocks, plane_bits):
-            vals = common.extract_plane_chunk(blk, pb, c, cs, tile_k)
+            vals, inv = common.extract_plane_chunk_scaled(blk, pb, c, cs, tile_k)
             dp = jnp.dot(
-                a_cd, vals.astype(compute_dtype),
+                a_cd, vals.astype(w_dtype),
                 preferred_element_type=jnp.float32, precision=prec,
             )
-            d = dp if d is None else d + float(1 << shift) * dp
+            f = float(1 << shift) * inv
+            dp = dp if f == 1.0 else f * dp
+            d = dp if d is None else d + dp
             shift += pb
         gi = (c * cs) // g_tile
         # out += s_g * (a_g @ wq_g) - sum(a_g) * sz_g, the zero term in true
@@ -106,9 +117,76 @@ def _kernel(plane_bits, tile_k, gt, cs, compute_dtype, stacked, *refs):
         out_ref[...] = acc_ref[...].astype(out_ref.dtype)
 
 
+def _kernel_a8(plane_bits, tile_k, gt, cs, stacked, *refs):
+    """Integer-activation variant (W4A8-style): int8 activations x int weight
+    chunks on the MXU's s8xs8->s32 path (2x the bf16 MAC rate on v5e), group
+    scales applied to the integer dot outputs in f32.
+
+    The caller quantizes activations per row (``a ~= a_scale * aq``) and
+    applies ``a_scale`` to this kernel's f32 output, so everything in here is
+    exact integer arithmetic until the per-group rescale:
+        out = sum_g s_g * (aq_g @ wq_g) - (sum aq_g) * sz_g
+    An 8-bit plane's values (0..255) don't fit s8: they are offset by -128
+    before the dot and the exact ``128 * asum`` correction is added back —
+    the same trick as the zero-point term, and still exact (s32 dot).
+
+    No reference counterpart (the reference is fp16-activation only); this is
+    the BASELINE.md north-star prefill path, where matmuls are MXU-bound and
+    the int8 rate pays.
+    """
+    if stacked:
+        refs = refs[1:]
+    n_planes = len(plane_bits)
+    a_ref = refs[0]
+    plane_refs = refs[1 : 1 + n_planes]
+    s_ref, sz_ref, out_ref, acc_ref = refs[1 + n_planes :]
+
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    g_tile = tile_k // gt
+    blocks = [(r[0] if stacked else r[...]) for r in plane_refs]
+    a = a_ref[...]  # int8 (tm, tile_k)
+
+    def s_row(ref, gi):
+        return (ref[0, 0, gi, :] if stacked else ref[0, gi, :])[None, :].astype(
+            jnp.float32
+        )
+
+    total = jnp.zeros_like(acc_ref)
+    for c in range(tile_k // cs):
+        a_c = a[:, c * cs : (c + 1) * cs]
+        asum_i = jnp.sum(a_c.astype(jnp.int32), axis=1, keepdims=True)
+        asum = asum_i.astype(jnp.float32)
+        d = None
+        shift = 0
+        for blk, pb in zip(blocks, plane_bits):
+            vals = common.extract_plane_chunk(blk, pb, c, cs, tile_k)
+            v8 = (vals - (128 if pb == 8 else 0)).astype(jnp.int8)
+            dp = jax.lax.dot_general(
+                a_c, v8, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32)
+            if pb == 8:
+                dp = dp + 128.0 * asum
+            dp = dp if shift == 0 else float(1 << shift) * dp
+            d = dp if d is None else d + dp
+            shift += pb
+        gi = (c * cs) // g_tile
+        total = total + d * s_row(s_ref, gi) - asum * s_row(sz_ref, gi)
+    acc_ref[...] += total
+
+    @pl.when(k == pl.num_programs(2) - 1)
+    def _():
+        out_ref[...] = acc_ref[...].astype(out_ref.dtype)
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("out_dtype", "tile_m", "tile_n", "precise", "interpret"),
+    static_argnames=("out_dtype", "tile_m", "tile_n", "precise", "interpret", "a8"),
 )
 def qmatmul_kernel(
     a: jax.Array,
@@ -119,8 +197,13 @@ def qmatmul_kernel(
     precise: bool = False,
     interpret: Optional[bool] = None,
     layer_idx: Optional[jax.Array] = None,
+    a8: bool = False,
 ) -> jax.Array:
     """``a (M, K) @ dequant(qt) (K, N) -> (M, N)``, fused.
+
+    ``a8=True``: ``a`` is int8 (per-row-quantized by the public op) and the
+    dots run on the MXU's s8xs8->s32 path; the f32 output still needs the
+    caller's per-row activation scale applied.
 
     ``a`` must already be padded to ``qt.K`` columns and to a sublane-friendly M
     (the public op in ``ops/qmatmul.py`` does both).  ``precise=True`` runs the
@@ -144,6 +227,9 @@ def qmatmul_kernel(
     tm = tile_m or min(M, 256)
     tn = tile_n or common.pick_tile_n(N)
     assert M % tm == 0, (M, tm)
+    if a8:
+        assert a.dtype == jnp.int8, a.dtype
+        assert not precise, "a8 is integer-exact; `precise` does not apply"
     compute_dtype = jnp.float32 if precise else jnp.bfloat16
     gt = qt.groups_per_tile
     gt_pad = qt.scales.shape[-2]
@@ -194,7 +280,12 @@ def qmatmul_kernel(
     # per-layer packed bytes (what one call streams)
     layers = qt.planes[0].shape[0] if stacked else 1
     packed_bytes = sum(p.size * 4 for p in qt.planes) // layers
-    kernel = functools.partial(_kernel, plane_bits, tk, gt, cs, compute_dtype, stacked)
+    if a8:
+        kernel = functools.partial(_kernel_a8, plane_bits, tk, gt, cs, stacked)
+    else:
+        kernel = functools.partial(
+            _kernel, plane_bits, tk, gt, cs, compute_dtype, stacked
+        )
     cost = pl.CostEstimate(
         flops=2 * M * N * K,
         bytes_accessed=packed_bytes

@@ -39,6 +39,7 @@ def qmatmul(
     tile_n: Optional[int] = None,
     interpret: Optional[bool] = None,
     layer: Optional[jax.Array] = None,
+    a8: bool = False,
 ) -> jax.Array:
     """``a[..., K] @ dequant(qt)[K, N] -> [..., N]`` without materializing the
     dense weight.
@@ -50,6 +51,11 @@ def qmatmul(
     ``layer`` (traced int32): ``qt``'s arrays carry a leading layer axis
     (``models.llama.stack_layers``) and the kernel reads that layer in place —
     the scan-over-layers path with zero weight copies.
+
+    ``a8=True`` (W4A8-style): activations are quantized per row to int8
+    (absmax) and the dots run on the MXU's s8xs8->s32 path at 2x the bf16 MAC
+    rate — the win is on MXU-bound prefill (large M); decode stays bf16.  The
+    weight side is exact; only activations round (~1/254 per-element relative).
     """
     out_dtype = out_dtype or a.dtype
     if layer is not None:
@@ -75,18 +81,36 @@ def qmatmul(
         w = formats.dequant_qtensor_reference(qt, out_dtype=jnp.float32)
         if qt.perm is not None:  # undo: reference dequant returns logical order
             w = jnp.take(w, qt.perm, axis=0)
+        a_or = (
+            a.reshape(M, K) if qt.perm is None else a2[:, :K]
+        ).astype(jnp.float32)
+        if a8:  # fake-quant the activations like the kernel path does
+            sc = jnp.maximum(jnp.max(jnp.abs(a_or), axis=1, keepdims=True), 1e-30) / 127.0
+            a_or = jnp.round(a_or / sc) * sc
         out = jnp.dot(
-            a.reshape(M, K).astype(jnp.float32) if qt.perm is None else a2[:, :K].astype(jnp.float32),
+            a_or,
             w[:K] if qt.perm is None else w,
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,  # true f32 on TPU MXU (oracle)
         )
         return out.reshape(*lead, Nl).astype(out_dtype)
 
-    tm = _pick_tile_m(M)
+    tm = _pick_tile_m(M) if not a8 else min(256, common.round_up(M, 32))
     Mp = common.round_up(M, tm)
     if Mp != M:
         a2 = jnp.pad(a2, ((0, Mp - M), (0, 0)))
+    if a8:
+        # per-row absmax int8: a ~= a_scale * aq (padded rows are all-zero and
+        # quantize to zero).  The scale returns on the kernel's f32 output.
+        af = a2.astype(jnp.float32)
+        a_scale = jnp.maximum(jnp.max(jnp.abs(af), axis=1, keepdims=True), 1e-30) / 127.0
+        aq = jnp.round(af / a_scale).astype(jnp.int8)
+        out = qmatmul_kernel(
+            aq, qt, out_dtype=jnp.float32, tile_m=tm, tile_n=tile_n,
+            interpret=interpret, layer_idx=layer, a8=True,
+        )
+        out = out * a_scale
+        return out[:M, :Nl].reshape(*lead, Nl).astype(out_dtype)
     # Mosaic has no fp16 compute path on TPU: activations enter the kernel in the
     # compute dtype, and fp16 outputs are rounded outside the kernel.
     a2 = a2.astype(jnp.float32 if precise else jnp.bfloat16)

@@ -28,6 +28,7 @@ def quantize_array(
     scale_round_dtype=None,
     row_shards: int = 1,
     act_order: bool = False,
+    storage_bits=None,
 ) -> QTensor:
     """Quantize ``w[K, N]`` to ``bits`` with per-group scale/zero, returning the
     packed TPU layout.  ``scale_round_dtype`` (e.g. fp16) optionally rounds scales
@@ -73,8 +74,9 @@ def quantize_array(
         return formats.make_row_sharded_qtensor(
             wq, scale, zero, bits, group_size, row_shards,
             tile_k=tile_k, scale_store_dtype=scale_store_dtype,
+            storage_bits=storage_bits,
         )
     return formats.make_qtensor(
         wq, scale, zero, bits, group_size, add_zero_bias=0, tile_k=tile_k,
-        perm=perm, scale_store_dtype=scale_store_dtype,
+        perm=perm, scale_store_dtype=scale_store_dtype, storage_bits=storage_bits,
     )

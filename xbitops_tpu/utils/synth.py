@@ -32,6 +32,7 @@ def random_qtensor(
     row_shards: int = 1,
     scale_lo: float = 0.002,
     scale_hi: float = 0.01,
+    storage_bits=None,
 ) -> QTensor:
     """A QTensor with random packed bits and small positive group scales.
 
@@ -63,6 +64,10 @@ def random_qtensor(
             K_logical=first.K_logical,
         )
 
+    value_bits = None
+    sb = formats.resolve_storage_bits(bits, storage_bits)
+    if sb != bits:
+        value_bits, bits = bits, sb
     tile_k = tile_k or formats.default_tile_k(K, group_size, bits)
     K_logical = K
     K = common.round_up(K, tile_k)
@@ -76,7 +81,7 @@ def random_qtensor(
     T = K // tile_k
     gt = max(1, tile_k // group_size)
     gt_pad = common.round_up(gt, 8)
-    maxq = (1 << bits) - 1
+    maxq = (1 << (value_bits or bits)) - 1
     scales = jax.random.uniform(ks, (T, gt_pad, N), jnp.float32, scale_lo, scale_hi)
     # zero-point near mid-range so dequantized values are centered
     z = jax.random.uniform(ksz, (T, gt_pad, N), jnp.float32, 0.4 * maxq, 0.6 * maxq)
@@ -89,6 +94,7 @@ def random_qtensor(
         tile_k=tile_k,
         K=K,
         K_logical=K_logical,
+        value_bits=value_bits,
     )
 
 
