@@ -71,8 +71,10 @@ def test_decode_attention_length_isolation():
 
 
 def test_decode_attention_int8_scales():
-    """int8 k/v + per-(pos, head) scales dequantize in-kernel to match the
-    dequantized-oracle attention."""
+    """Packed int8 k/v (4 positions/int32 word along S) + per-(pos, head)
+    scales dequantize in-kernel to match the dequantized-oracle attention."""
+    from xbitops_tpu.models.llama import _pack_kv_words
+
     B, S, H, Hkv, D = 2, 128, 8, 2, 128
     key = jax.random.PRNGKey(3)
     q = jax.random.normal(key, (B, H, D), jnp.bfloat16)
@@ -80,14 +82,17 @@ def test_decode_attention_int8_scales():
     vf = jax.random.normal(jax.random.fold_in(key, 2), (B, S, Hkv, D)) * 0.5
     ks = jnp.maximum(jnp.max(jnp.abs(kf), axis=-1), 1e-8) / 127.0
     vs = jnp.maximum(jnp.max(jnp.abs(vf), axis=-1), 1e-8) / 127.0
-    kq = jnp.clip(jnp.round(kf / ks[..., None]), -127, 127).astype(jnp.int8)
-    vq = jnp.clip(jnp.round(vf / vs[..., None]), -127, 127).astype(jnp.int8)
+    kq = jnp.clip(jnp.round(kf / ks[..., None]), -127, 127).astype(jnp.int32)
+    vq = jnp.clip(jnp.round(vf / vs[..., None]), -127, 127).astype(jnp.int32)
+    kw, vw = _pack_kv_words(kq), _pack_kv_words(vq)
+    ks_p = ks.reshape(B, S // 4, 4, Hkv).astype(jnp.bfloat16)
+    vs_p = vs.reshape(B, S // 4, 4, Hkv).astype(jnp.bfloat16)
     lengths = jnp.asarray([50, 128], jnp.int32)
     got = np.asarray(
-        decode_attention(q, kq, vq, lengths, block_s=64, k_scale=ks, v_scale=vs),
+        decode_attention(q, kw, vw, lengths, block_s=64, k_scale=ks_p, v_scale=vs_p),
         np.float32,
     )
-    kd = (kq.astype(jnp.float32) * ks[..., None]).astype(jnp.bfloat16)
-    vd = (vq.astype(jnp.float32) * vs[..., None]).astype(jnp.bfloat16)
+    kd = (kq.astype(jnp.float32) * ks_p.reshape(B, S, Hkv).astype(jnp.float32)[..., None]).astype(jnp.bfloat16)
+    vd = (vq.astype(jnp.float32) * vs_p.reshape(B, S, Hkv).astype(jnp.float32)[..., None]).astype(jnp.bfloat16)
     want = np.asarray(ref_att(q, kd, vd, lengths))
     np.testing.assert_allclose(got, want, rtol=5e-2, atol=5e-3)

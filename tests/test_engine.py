@@ -211,7 +211,10 @@ def test_engine_kv_quant_close_to_bf16(params):
     reqs = lambda: [Request(prompt=p, max_new_tokens=5) for p in PROMPTS[:3]]
     a = Engine(params, CFG, slots=2, prefill_buckets=[4, 8]).generate(reqs())
     eng_q = Engine(params, CFG, slots=2, prefill_buckets=[4, 8], kv_quant=True)
-    assert eng_q.cache.k.dtype == jnp.int8 and eng_q.cache.quantized
+    # packed layout: int32 words of 4 positions, S axis is S/4
+    assert eng_q.cache.k.dtype == jnp.int32 and eng_q.cache.quantized
+    assert eng_q.cache.k.shape[2] == CFG.max_seq_len // 4
+    assert eng_q.cache.S == CFG.max_seq_len
     b = eng_q.generate(reqs())
     total = agree = 0
     for ca, cb in zip(a, b):

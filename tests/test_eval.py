@@ -78,3 +78,19 @@ def test_act_order_decode_runs(token_stream):
     assert bool(jnp.all(jnp.isfinite(logits.astype(jnp.float32))))
     nll = sequence_nll(params, CFG, token_stream)
     assert nll.shape == (4,) and bool(jnp.all(jnp.isfinite(nll)))
+
+
+def test_perplexity_parity_a8_prefill(token_stream):
+    """W4A8 prefill (int8-MXU activations): perplexity within noise of the
+    W4A16 model on the same stream (VERDICT round-2 item 2's gate)."""
+    import dataclasses
+
+    dense = llama.init_params(jax.random.PRNGKey(1), CFG, bits=None)
+    q = _quantize_params(dense, act_order=False)
+    cfg8 = dataclasses.replace(CFG, prefill_a8=True)
+    # T must clear the a8 activation threshold (32) or the flag is inert
+    stream = jax.random.randint(jax.random.PRNGKey(7), (2, 48), 0, CFG.vocab_size)
+    p_w4a16 = perplexity(q, CFG, stream)
+    p_w4a8 = perplexity(q, cfg8, stream)
+    assert p_w4a8 != p_w4a16  # the int8 path actually ran
+    assert abs(np.log(p_w4a8) - np.log(p_w4a16)) < 0.05, (p_w4a8, p_w4a16)

@@ -97,6 +97,12 @@ class Engine:
             b for b in (prefill_buckets or default_buckets(cfg.max_seq_len))
             if b <= self.prefill_chunk
         ) or [self.prefill_chunk]
+        if kv_quant:
+            # packed int8 cache writes whole 4-position words: every prefill
+            # shape must be a multiple of 4
+            self.buckets = sorted({-(-b // 4) * 4 for b in self.buckets})
+            if self.prefill_chunk % 4:
+                raise ValueError("kv_quant requires prefill_chunk % 4 == 0")
         self.decode_burst = max(1, decode_burst)
         self._key = jax.random.PRNGKey(seed)
         self._next_id = 0
@@ -135,35 +141,39 @@ class Engine:
     def _build_step_fns(self, top_k: int, top_p: float) -> None:
         cfg, mesh, axis = self.cfg, self.mesh, self.axis
 
-        if mesh is None:
-            def base_prefill(params, cache, tokens, true_lens, slots):
-                return llama.prefill_slots(params, cfg, tokens, true_lens, slots, cache)
+        def make_bases(c):
+            if mesh is None:
+                def base_prefill(params, cache, tokens, true_lens, slots):
+                    return llama.prefill_slots(params, c, tokens, true_lens, slots, cache)
 
-            def base_prefill_chunk(params, cache, tokens, start, true_len, slot, reset):
-                return llama.prefill_slot_chunk(
-                    params, cfg, tokens, start, true_len, slot, cache, reset=reset
-                )
+                def base_prefill_chunks(params, cache, tokens, starts, lens, slots, resets):
+                    return llama.prefill_slots_chunk(
+                        params, c, tokens, starts, lens, slots, cache, resets=resets
+                    )
 
-            def base_decode(params, cache, tokens, active):
-                return llama.decode_step(params, cfg, tokens, cache, active=active)
-        else:
-            from xbitops_tpu.parallel import model_tp
+                def base_decode(params, cache, tokens, active):
+                    return llama.decode_step(params, c, tokens, cache, active=active)
+            else:
+                from xbitops_tpu.parallel import model_tp
 
-            def base_prefill(params, cache, tokens, true_lens, slots):
-                return model_tp.tp_prefill_slots(
-                    params, cfg, mesh, tokens, true_lens, slots, cache, axis
-                )
+                def base_prefill(params, cache, tokens, true_lens, slots):
+                    return model_tp.tp_prefill_slots(
+                        params, c, mesh, tokens, true_lens, slots, cache, axis
+                    )
 
-            def base_prefill_chunk(params, cache, tokens, start, true_len, slot, reset):
-                return model_tp.tp_prefill_slot_chunk(
-                    params, cfg, mesh, tokens, start, true_len, slot, cache, axis,
-                    reset=reset,
-                )
+                def base_prefill_chunks(params, cache, tokens, starts, lens, slots, resets):
+                    return model_tp.tp_prefill_slots_chunk(
+                        params, c, mesh, tokens, starts, lens, slots, cache, axis,
+                        resets=resets,
+                    )
 
-            def base_decode(params, cache, tokens, active):
-                return model_tp.tp_decode_step(
-                    params, cfg, mesh, tokens, cache, axis, active=active
-                )
+                def base_decode(params, cache, tokens, active):
+                    return model_tp.tp_decode_step(
+                        params, c, mesh, tokens, cache, axis, active=active
+                    )
+            return base_prefill, base_prefill_chunks, base_decode
+
+        base_prefill, base_prefill_chunks, _ = make_bases(cfg)
 
         @partial(jax.jit, donate_argnums=(1,))
         def prefill_fn(params, cache, tokens, true_lens, slots, key, temps):
@@ -174,42 +184,61 @@ class Engine:
             return toks, cache
 
         @partial(jax.jit, donate_argnums=(1,))
-        def prefill_chunk_fn(params, cache, tokens, start, true_len, slot, reset,
-                             key, temp):
-            logits, cache = base_prefill_chunk(
-                params, cache, tokens, start, true_len, slot, reset
+        def prefill_chunks_fn(params, cache, tokens, starts, lens, slots, resets,
+                              key, temps):
+            """Batched long-prompt admission: one chunk for EVERY long prompt
+            in one forward (no per-request host dispatches)."""
+            logits, cache = base_prefill_chunks(
+                params, cache, tokens, starts, lens, slots, resets
             )
-            tok = sampling.sample_tokens(
-                logits[None], key, temp[None], top_k, top_p
-            )
-            return tok[0], cache
+            toks = sampling.sample_tokens(logits, key, temps, top_k, top_p)
+            return toks, cache
 
-        self._prefill_chunk_fn = prefill_chunk_fn
+        self._prefill_chunks_fn = prefill_chunks_fn
 
         burst = self.decode_burst
 
-        @partial(jax.jit, donate_argnums=(1,))
-        def decode_fn(params, cache, tokens, active, key, temps):
-            """Run `burst` chained decode steps; returns tokens [burst, B].
+        def make_decode_fn(c):
+            base_decode = make_bases(c)[2]
 
-            Slots that hit a stop condition mid-burst keep decoding garbage
-            (the host discards it); out-of-capacity positions self-mask via
-            the drop-scatter semantics in models/llama.py.
-            """
+            @partial(jax.jit, donate_argnums=(1,))
+            def decode_fn(params, cache, tokens, active, key, temps):
+                """Run `burst` chained decode steps; returns tokens [burst, B].
 
-            def body(carry, k):
-                toks, cache = carry
-                logits, cache = base_decode(params, cache, toks, active)
-                nxt = sampling.sample_tokens(logits, k, temps, top_k, top_p)
-                nxt = jnp.where(active, nxt, 0)
-                return (nxt, cache), nxt
+                Slots that hit a stop condition mid-burst keep decoding garbage
+                (the host discards it); out-of-capacity positions self-mask via
+                the drop-scatter semantics in models/llama.py.
+                """
 
-            keys = jax.random.split(key, burst)
-            (last, cache), seq = jax.lax.scan(body, (tokens, cache), keys)
-            return seq, cache
+                def body(carry, k):
+                    toks, cache = carry
+                    logits, cache = base_decode(params, cache, toks, active)
+                    nxt = sampling.sample_tokens(logits, k, temps, top_k, top_p)
+                    nxt = jnp.where(active, nxt, 0)
+                    return (nxt, cache), nxt
+
+                keys = jax.random.split(key, burst)
+                (last, cache), seq = jax.lax.scan(body, (tokens, cache), keys)
+                return seq, cache
+
+            return decode_fn
 
         self._prefill_fn = prefill_fn
-        self._decode_fn = decode_fn
+        # Flash-vs-XLA attention is dispatched PER STEP on live lengths (the
+        # engine knows them host-side), not on the cache allocation: a
+        # long-capacity cache holding short sequences decodes through XLA's
+        # one-shot attention (cheaper below ~256 live positions); flash takes
+        # over once any slot's context grows past that.  Two compiled decode
+        # programs at most; identical (and deduped) when the allocation is
+        # too small for flash to ever engage.
+        self._decode_fn = make_decode_fn(cfg)  # follows cfg.flash_decode
+        self._decode_dispatch = (
+            cfg.flash_decode and cfg.max_seq_len > 256 and cfg.head_dim % 128 == 0
+        )
+        if self._decode_dispatch:
+            self._decode_fn_short = make_decode_fn(
+                dataclasses.replace(cfg, flash_decode=False)
+            )
 
     def _bucket(self, n: int) -> int:
         for b in self.buckets:
@@ -280,9 +309,10 @@ class Engine:
 
         while pending or active.any():
             # admit new requests into free slots.  Short prompts batch into
-            # ONE prefill dispatch (padded rows are inert); long prompts go
-            # through the chunked path individually.
-            admit = []
+            # ONE prefill dispatch (padded rows are inert); long prompts
+            # batch too — all of them advance one chunk per dispatch, in
+            # lockstep, through the same compiled program.
+            admit, longs = [], []
             for b in range(self.slots):
                 if not active[b] and pending:
                     r = pending.popleft()
@@ -290,21 +320,45 @@ class Engine:
                     if len(prompt) <= self.buckets[-1]:
                         admit.append((b, r, prompt))
                     else:
-                        # long prompt: fixed-size chunks attending the cache
-                        C = self.prefill_chunk
-                        for ci, start in enumerate(range(0, len(prompt), C)):
-                            chunk = np.zeros(C, np.int32)
-                            piece = prompt[start : start + C]
-                            chunk[: len(piece)] = piece
-                            tok_dev, self.cache = self._prefill_chunk_fn(
-                                self.params, self.cache, jnp.asarray(chunk),
-                                jnp.int32(start), jnp.int32(len(prompt)),
-                                jnp.int32(b), jnp.asarray(ci == 0),
-                                self._split_key(), jnp.float32(r.temperature),
-                            )
-                        self._admit_slot(b, r, prompt, slot_req, slot_gen,
-                                         slot_len, temps, active)
-                        accept(b, int(tok_dev))
+                        longs.append((b, r, prompt))
+
+            if longs:
+                C = self.prefill_chunk
+                n = self.slots  # fixed row count: one compiled program
+                n_chunks = -(-max(len(p) for _, _, p in longs) // C)
+                last_tok = {}
+                for ci in range(n_chunks):
+                    toks = np.zeros((n, C), np.int32)
+                    starts = np.zeros(n, np.int32)
+                    lens = np.zeros(n, np.int32)
+                    slots_arr = np.full(n, self.slots, np.int32)  # OOB = inert
+                    row_temps = np.zeros(n, np.float32)
+                    resets = np.zeros(n, bool)
+                    for i, (b, r, prompt) in enumerate(longs):
+                        start = ci * C
+                        if start >= len(prompt):
+                            continue  # this prompt is done; row stays inert
+                        piece = prompt[start : start + C]
+                        toks[i, : len(piece)] = piece
+                        starts[i] = start
+                        lens[i] = len(prompt)
+                        slots_arr[i] = b
+                        row_temps[i] = r.temperature
+                        resets[i] = ci == 0
+                    toks_dev, self.cache = self._prefill_chunks_fn(
+                        self.params, self.cache, jnp.asarray(toks),
+                        jnp.asarray(starts), jnp.asarray(lens),
+                        jnp.asarray(slots_arr), jnp.asarray(resets),
+                        self._split_key(), jnp.asarray(row_temps),
+                    )
+                    toks_np = np.asarray(jax.device_get(toks_dev))
+                    for i, (b, r, prompt) in enumerate(longs):
+                        if ci == (len(prompt) - 1) // C:
+                            last_tok[i] = int(toks_np[i])
+                for i, (b, r, prompt) in enumerate(longs):
+                    self._admit_slot(b, r, prompt, slot_req, slot_gen,
+                                     slot_len, temps, active)
+                    accept(b, last_tok[i])
 
             if admit:
                 n = self.slots  # fixed row count: one compiled program
@@ -331,7 +385,14 @@ class Engine:
             if not active.any():
                 continue
 
-            toks_dev, self.cache = self._decode_fn(
+            decode = self._decode_fn
+            if self._decode_dispatch:
+                # live-length dispatch: below ~256 positions XLA's one-shot
+                # attention beats the blocked kernel's per-program overhead
+                live_max = int(slot_len[active].max()) + self.decode_burst
+                if live_max <= 256:
+                    decode = self._decode_fn_short
+            toks_dev, self.cache = decode(
                 self.params, self.cache, jnp.asarray(cur_tok),
                 jnp.asarray(active), self._split_key(), jnp.asarray(temps),
             )

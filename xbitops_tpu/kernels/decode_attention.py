@@ -69,33 +69,66 @@ def _kernel(bs, rep, Hkv, D, scale, stacked, has_scales, *refs):
 
     @pl.when(s * bs < length)
     def _():
-        k = (k_ref[0, 0] if stacked else k_ref[0]).astype(jnp.float32)  # (bs,Hkv,D)
-        v = (v_ref[0, 0] if stacked else v_ref[0]).astype(jnp.float32)
-        if has_scales:  # int8 cache: dequant blocks in-register
-            ks = (ks_ref[0, 0] if stacked else ks_ref[0]).astype(jnp.float32)
-            vs = (vs_ref[0, 0] if stacked else vs_ref[0]).astype(jnp.float32)
-            k = k * ks[:, :, None]
-            v = v * vs[:, :, None]
-        # row i of this block is cache position s*bs + i
-        live = (
-            s * bs + jax.lax.broadcasted_iota(jnp.int32, (bs, Hkv), 0) < length
-        )
         q = q_ref[0].astype(jnp.float32)  # (Hkv, rep, D)
-        for r in range(rep):
-            qr = q[:, r, :]  # (Hkv, D)
-            scores = jnp.sum(k * qr[None, :, :], axis=2) * scale  # (bs, Hkv)
-            scores = jnp.where(live, scores, NEG_INF)
 
+        def online_update(r, scores, v, p_scale=None):
+            """One online-softmax accumulation of `scores` (rows, Hkv) with
+            values `v` (rows, Hkv, D); `p_scale` optionally rescales the
+            probabilities per (row, head) — how per-position v-scales fold in
+            without ever broadcasting over D."""
             m_prev = m_ref[r : r + 1, :]  # (1, Hkv)
             m_new = jnp.maximum(m_prev, jnp.max(scores, axis=0, keepdims=True))
             m_ref[r : r + 1, :] = m_new
             alpha = jnp.exp(m_prev - m_new)  # (1, Hkv)
-            p = jnp.exp(scores - m_new)  # (bs, Hkv)
+            p = jnp.exp(scores - m_new)  # (rows, Hkv)
             l_ref[r : r + 1, :] = l_ref[r : r + 1, :] * alpha + jnp.sum(
                 p, axis=0, keepdims=True
             )
+            if p_scale is not None:
+                p = p * p_scale
             pv = jnp.sum(p[:, :, None] * v, axis=0)  # (Hkv, D)
             acc_ref[r] = acc_ref[r] * alpha[0][:, None] + pv
+
+        if has_scales:
+            # int8 cache, lane-major packed: byte j of word row w = position
+            # 4w+j.  Each byte stream unpacks in-register (shift-left +
+            # arithmetic-shift-right sign extension) and runs its own online
+            # softmax update; k-scales fold into the scores and v-scales into
+            # the probabilities, both (rows, Hkv) — scales never broadcast
+            # over D, so no <128-lane reshapes/transposes reach Mosaic.
+            bw = bs // 4
+            kw = k_ref[0, 0] if stacked else k_ref[0]  # (bw, Hkv, D) int32
+            vw = v_ref[0, 0] if stacked else v_ref[0]
+            ks = (ks_ref[0, 0] if stacked else ks_ref[0]).astype(jnp.float32)
+            vs = (vs_ref[0, 0] if stacked else vs_ref[0]).astype(jnp.float32)
+            j_iota = jax.lax.broadcasted_iota(jnp.int32, (bw, 4, Hkv), 1)
+            w_iota = jax.lax.broadcasted_iota(jnp.int32, (bw, Hkv), 0)
+            for j in range(4):
+                kj = ((kw << (24 - 8 * j)) >> 24).astype(jnp.float32)
+                vj = ((vw << (24 - 8 * j)) >> 24).astype(jnp.float32)
+                # (bw, Hkv) scale rows for byte j via one-hot reduce (static
+                # middle-axis slicing lowers as an unsupported gather)
+                one_j = (j_iota == j).astype(jnp.float32)
+                ksj = jnp.sum(ks * one_j, axis=1)
+                vsj = jnp.sum(vs * one_j, axis=1)
+                live = s * bs + 4 * w_iota + j < length
+                for r in range(rep):
+                    qr = q[:, r, :]
+                    scores = jnp.sum(kj * qr[None, :, :], axis=2) * scale * ksj
+                    scores = jnp.where(live, scores, NEG_INF)
+                    online_update(r, scores, vj, p_scale=vsj)
+        else:
+            k = (k_ref[0, 0] if stacked else k_ref[0]).astype(jnp.float32)
+            v = (v_ref[0, 0] if stacked else v_ref[0]).astype(jnp.float32)
+            # row i of this block is cache position s*bs + i
+            live = (
+                s * bs + jax.lax.broadcasted_iota(jnp.int32, (bs, Hkv), 0) < length
+            )
+            for r in range(rep):
+                qr = q[:, r, :]  # (Hkv, D)
+                scores = jnp.sum(k * qr[None, :, :], axis=2) * scale  # (bs, Hkv)
+                scores = jnp.where(live, scores, NEG_INF)
+                online_update(r, scores, v)
 
     @pl.when(s == pl.num_programs(1) - 1)
     def _():
@@ -113,22 +146,28 @@ def decode_attention(
     block_s: int = 256,
     interpret: Optional[bool] = None,
     layer_idx: Optional[jax.Array] = None,
-    k_scale: Optional[jax.Array] = None,  # [(L,) B, S, Hkv] for an int8 cache
+    k_scale: Optional[jax.Array] = None,  # [(L,) B, S/4, 4, Hkv]: int8 cache
     v_scale: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Softmax(q k^T / sqrt(D)) v over each slot's first ``lengths[b]`` cache
     positions; returns [B, H, D].  HBM reads scale with ``lengths``, not S.
-    ``k_scale``/``v_scale`` dequantize an int8 cache block-by-block in-kernel."""
+
+    With ``k_scale``/``v_scale`` the cache is the lane-major packed int8
+    layout (``models.llama.KVCache`` quantized: int32 words of 4 consecutive
+    positions along S) and blocks dequantize in-register — half the DMA bytes
+    of the bf16 cache."""
     if interpret is None:
         interpret = common.interpret_default()
     stacked = layer_idx is not None
     has_scales = k_scale is not None
     B, H, D = q.shape
-    S, Hkv = k.shape[-3], k.shape[-2]
+    pack = 4 if has_scales else 1
+    S, Hkv = k.shape[-3] * pack, k.shape[-2]
     assert H % Hkv == 0
     rep = H // Hkv
-    bs = min(block_s, S)
+    bs = min(block_s, S)  # positions per block (a multiple of `pack`)
     n_blocks = common.cdiv(S, bs)
+    bw = bs // pack  # word rows per block
     # query head h*rep+r shares kv head h (jnp.repeat convention)
     q4 = q.reshape(B, Hkv, rep, D)
 
@@ -144,13 +183,13 @@ def decode_attention(
             memory_space=pltpu.VMEM,
         )
         kv_spec = pl.BlockSpec(
-            (1, 1, bs, Hkv, D),
+            (1, 1, bw, Hkv, D),
             lambda b, s, lens, li: (li[0], b, clamp(s, lens, b), 0, 0),
             memory_space=pltpu.VMEM,
         )
         sc_spec = pl.BlockSpec(
-            (1, 1, bs, Hkv),
-            lambda b, s, lens, li: (li[0], b, clamp(s, lens, b), 0),
+            (1, 1, bw, 4, Hkv),
+            lambda b, s, lens, li: (li[0], b, clamp(s, lens, b), 0, 0),
             memory_space=pltpu.VMEM,
         )
         o_spec = pl.BlockSpec(
@@ -166,11 +205,11 @@ def decode_attention(
             memory_space=pltpu.VMEM,
         )
         kv_spec = pl.BlockSpec(
-            (1, bs, Hkv, D), lambda b, s, lens: (b, clamp(s, lens, b), 0, 0),
+            (1, bw, Hkv, D), lambda b, s, lens: (b, clamp(s, lens, b), 0, 0),
             memory_space=pltpu.VMEM,
         )
         sc_spec = pl.BlockSpec(
-            (1, bs, Hkv), lambda b, s, lens: (b, clamp(s, lens, b), 0),
+            (1, bw, 4, Hkv), lambda b, s, lens: (b, clamp(s, lens, b), 0, 0),
             memory_space=pltpu.VMEM,
         )
         o_spec = pl.BlockSpec(

@@ -39,6 +39,10 @@ class LlamaConfig:
     # decode attention through the length-aware Pallas kernel (reads scale
     # with live lengths, not the cache allocation); XLA fallback if False
     flash_decode: bool = True
+    # W4A8 prefill: projections on T >= 32 token blocks quantize activations
+    # per-row to int8 and use the MXU's s8xs8 path (2x MAC rate; ~0.5-1%
+    # activation rounding).  Decode (T == 1) always stays bf16.
+    prefill_a8: bool = False
 
     @staticmethod
     def llama2_7b() -> "LlamaConfig":
@@ -184,26 +188,33 @@ def init_params(
 class KVCache:
     """Static-shape cache ``[L, B, S_max, n_kv, head_dim]`` with per-slot lengths.
 
-    With ``quantized=True`` at init, k/v store int8 with per-(position, head)
-    absmax scales ``[L, B, S, n_kv]`` — TWICE the context capacity per HBM
-    byte at near-lossless accuracy.  Notes (v5e, measured): the in-kernel
-    int8->f32 conversion costs more VPU time than the halved DMA saves (483
-    vs 219 us/layer-call at len=1000), so this is a capacity knob, not a
-    latency one; and at very large S XLA currently materializes one temporary
-    copy of k+v per step (in-place aliasing of the int8 scatter + custom-call
-    chain fails where the bf16 path aliases cleanly — under investigation),
-    so the practical ceiling is ~half the theoretical 2x capacity gain.
+    With ``quantized=True`` at init, k/v store int8 values **lane-major
+    packed**: four consecutive sequence positions per int32 word, shape
+    ``[L, B, S/4, n_kv, head_dim]`` (byte j of word w = position 4w+j), with
+    per-(position, head) absmax scales ``[L, B, S/4, 4, n_kv]`` — TWICE the
+    context capacity per HBM byte at near-lossless accuracy.  The packing
+    direction is the fix for round-1's failed variants: int8 (or
+    packed-along-head) arrays left 32-lane minor dims and forced Mosaic
+    relayout copies at every custom call; packing along S keeps the 128-lane
+    head_dim minor and all arrays int32, so cache blocks stream into the
+    decode-attention kernel in their native layout and unpack with three VPU
+    ops per value (shift-left, arithmetic-shift-right sign extension, scale).
     """
 
     k: jax.Array
     v: jax.Array
     lengths: jax.Array  # int32 [B]
-    k_scale: Optional[jax.Array] = None  # f32 [L, B, S, n_kv] (int8 cache)
+    k_scale: Optional[jax.Array] = None  # bf16 [L, B, S/4, 4, n_kv] (int8 cache)
     v_scale: Optional[jax.Array] = None
 
     @property
     def quantized(self) -> bool:
         return self.k_scale is not None
+
+    @property
+    def S(self) -> int:
+        """Cache capacity in positions (the packed word axis covers 4 each)."""
+        return self.k.shape[2] * (4 if self.quantized else 1)
 
     def tree_flatten(self):
         return (self.k, self.v, self.lengths, self.k_scale, self.v_scale), None
@@ -218,11 +229,14 @@ class KVCache:
     ) -> "KVCache":
         shape = (cfg.num_layers, batch, cfg.max_seq_len, cfg.num_kv_heads, cfg.head_dim)
         if quantized:
+            if cfg.max_seq_len % 4:
+                raise ValueError("int8 KV cache needs max_seq_len % 4 == 0")
+            wshape = (shape[0], batch, cfg.max_seq_len // 4, *shape[3:])
             return KVCache(
-                k=jnp.zeros(shape, jnp.int8), v=jnp.zeros(shape, jnp.int8),
+                k=jnp.zeros(wshape, jnp.int32), v=jnp.zeros(wshape, jnp.int32),
                 lengths=jnp.zeros((batch,), jnp.int32),
-                k_scale=jnp.zeros(shape[:-1], jnp.bfloat16),
-                v_scale=jnp.zeros(shape[:-1], jnp.bfloat16),
+                k_scale=jnp.zeros((*wshape[:3], 4, cfg.num_kv_heads), jnp.bfloat16),
+                v_scale=jnp.zeros((*wshape[:3], 4, cfg.num_kv_heads), jnp.bfloat16),
             )
         return KVCache(
             k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype),
@@ -283,11 +297,12 @@ class TPRuntime(Runtime):
         return jax.lax.all_gather(x, self.axis, axis=x.ndim - 1, tiled=True)
 
 
-def _linear(x: jax.Array, w: Any, **kw) -> jax.Array:
+def _linear(x: jax.Array, w: Any, a8: bool = False, **kw) -> jax.Array:
     if isinstance(w, IndexedQTensor):
-        return qmatmul(x, w.qt, out_dtype=x.dtype, layer=w.layer, **kw)
+        return qmatmul(x, w.qt, out_dtype=x.dtype, layer=w.layer, a8=a8, **kw)
     if isinstance(w, QTensor):
-        return qmatmul(x, w, out_dtype=x.dtype, **kw)
+        return qmatmul(x, w, out_dtype=x.dtype, a8=a8, **kw)
+    # dense (bf16) weights have no int8 path — a8 is a no-op for them
     return jnp.dot(x, w.astype(x.dtype), preferred_element_type=jnp.float32).astype(x.dtype)
 
 
@@ -330,11 +345,30 @@ def _attention(q, k, v, mask, scale):
 
 
 def _quant_kv(x):
-    """Per-(token, head) absmax int8 quantization of a [B, T, H, D] tensor."""
+    """Per-(token, head) absmax int8 quantization of a [B, T, H, D] tensor.
+    Values return as int32 (byte range) ready for word packing."""
     xf = x.astype(jnp.float32)
     s = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1), 1e-8) / 127.0
-    q = jnp.clip(jnp.round(xf / s[..., None]), -127, 127).astype(jnp.int8)
+    q = jnp.clip(jnp.round(xf / s[..., None]), -127, 127).astype(jnp.int32)
     return q, s
+
+
+def _pack_kv_words(q):
+    """[B, T, H, D] int8-range ints -> [B, T/4, H, D] packed words (byte j of
+    word w = position 4w+j)."""
+    B, T, H, D = q.shape
+    qb = (q & 255).reshape(B, T // 4, 4, H, D)
+    return qb[:, :, 0] | (qb[:, :, 1] << 8) | (qb[:, :, 2] << 16) | (qb[:, :, 3] << 24)
+
+
+def _unpack_kv_words(words, scales):
+    """[..., W, H, D] packed words + [..., W, 4, H] scales -> dequantized
+    [..., 4W, H, D] f32 (XLA fallback path; the decode kernel unpacks
+    blocks in-register instead)."""
+    parts = [((words << (24 - 8 * j)) >> 24) for j in range(4)]  # sign-extend
+    q = jnp.stack(parts, axis=-3)  # [..., W, 4, H, D]
+    deq = q.astype(jnp.float32) * scales.astype(jnp.float32)[..., None]
+    return deq.reshape(*words.shape[:-3], -1, *words.shape[-2:])
 
 
 def _block(
@@ -359,17 +393,20 @@ def _block(
     B, T, _ = x.shape
     H, Hkv, D = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
     qdim, kvdim = H * D, Hkv * D
+    # T is static under jit: prefill blocks (large T, MXU-bound) may take the
+    # int8-activation fast path; decode (T == 1) never does.
+    a8 = bool(cfg.prefill_a8) and T >= 32
 
     hx = rms_norm(x, layer["ln_attn"], cfg.rms_eps)
     if "wqkv" in layer:  # fused projection: one packed matmul for q|k|v
-        qkv = rt.col(hx, layer["wqkv"])
+        qkv = rt.col(hx, layer["wqkv"], a8=a8)
         q = qkv[..., :qdim].reshape(B, T, H, D)
         k = qkv[..., qdim : qdim + kvdim].reshape(B, T, Hkv, D)
         v = qkv[..., qdim + kvdim :].reshape(B, T, Hkv, D)
     else:
-        q = rt.col(hx, layer["wq"]).reshape(B, T, H, D)
-        k = rt.col(hx, layer["wk"]).reshape(B, T, Hkv, D)
-        v = rt.col(hx, layer["wv"]).reshape(B, T, Hkv, D)
+        q = rt.col(hx, layer["wq"], a8=a8).reshape(B, T, H, D)
+        k = rt.col(hx, layer["wk"], a8=a8).reshape(B, T, Hkv, D)
+        v = rt.col(hx, layer["wv"], a8=a8).reshape(B, T, Hkv, D)
     q = _rope(q, positions, cfg.rope_theta)
     k = _rope(k, positions, cfg.rope_theta)
 
@@ -378,13 +415,43 @@ def _block(
     # slots) write nothing — the engine relies on this for ragged batches.
     k_all, v_all, ks_all, vs_all = kv
     b_idx = (slot_ids if slot_ids is not None else jnp.arange(B))[:, None]
-    if ks_all is not None:  # int8 cache: per-(token, head) absmax
+    if ks_all is not None:  # int8 cache, lane-major packed (4 positions/word)
         kq, ks = _quant_kv(k)
         vq, vs = _quant_kv(v)
-        k_all = k_all.at[li, b_idx, positions].set(kq, mode="drop")
-        v_all = v_all.at[li, b_idx, positions].set(vq, mode="drop")
-        ks_all = ks_all.at[li, b_idx, positions].set(ks.astype(ks_all.dtype), mode="drop")
-        vs_all = vs_all.at[li, b_idx, positions].set(vs.astype(vs_all.dtype), mode="drop")
+        if T == 1:
+            # decode: read-modify-write one byte of each (head, dim) word
+            w_idx = positions // 4  # (B, 1); OOB (pad) words drop
+            byte = positions % 4
+            sh = (byte * 8)[..., None, None]  # (B, 1, 1, 1)
+            keep = ~(255 << sh)
+            oldk = k_all.at[li, b_idx, w_idx].get(mode="fill", fill_value=0)
+            oldv = v_all.at[li, b_idx, w_idx].get(mode="fill", fill_value=0)
+            k_all = k_all.at[li, b_idx, w_idx].set(
+                (oldk & keep) | ((kq & 255) << sh), mode="drop"
+            )
+            v_all = v_all.at[li, b_idx, w_idx].set(
+                (oldv & keep) | ((vq & 255) << sh), mode="drop"
+            )
+            ks_all = ks_all.at[li, b_idx, w_idx, byte].set(
+                ks.astype(ks_all.dtype), mode="drop"
+            )
+            vs_all = vs_all.at[li, b_idx, w_idx, byte].set(
+                vs.astype(vs_all.dtype), mode="drop"
+            )
+        else:
+            # prefill: whole words (positions are 4-aligned contiguous runs —
+            # engine chunk/bucket sizes are multiples of 4; trailing pads sit
+            # past each row's length and are masked by attention)
+            assert T % 4 == 0, "int8 KV prefill needs T % 4 == 0"
+            wpos = positions[:, 0::4] // 4  # (B, T/4); pad-led words drop
+            k_all = k_all.at[li, b_idx, wpos].set(_pack_kv_words(kq), mode="drop")
+            v_all = v_all.at[li, b_idx, wpos].set(_pack_kv_words(vq), mode="drop")
+            ks_all = ks_all.at[li, b_idx, wpos].set(
+                ks.reshape(B, T // 4, 4, -1).astype(ks_all.dtype), mode="drop"
+            )
+            vs_all = vs_all.at[li, b_idx, wpos].set(
+                vs.reshape(B, T // 4, 4, -1).astype(vs_all.dtype), mode="drop"
+            )
     else:
         k_all = k_all.at[li, b_idx, positions].set(k.astype(k_all.dtype), mode="drop")
         v_all = v_all.at[li, b_idx, positions].set(v.astype(v_all.dtype), mode="drop")
@@ -399,42 +466,41 @@ def _block(
         ksc, vsc = ks_all[li], vs_all[li]
         if rows is not None:
             ksc, vsc = ksc[rows], vsc[rows]
-        return (
-            kc.astype(jnp.float32) * ksc[..., None],
-            vc.astype(jnp.float32) * vsc[..., None],
-        )
+        return _unpack_kv_words(kc, ksc), _unpack_kv_words(vc, vsc)
 
+    S_cap = k_all.shape[2] * (4 if ks_all is not None else 1)
     if self_attend:
         att = _attention(q, k, v, mask, D ** -0.5)
     elif slot_ids is not None:
         # x's batch rows map to a subset of cache slots: attend those slots
         att = _attention(q, *ctx(slot_ids), mask, D ** -0.5)
-    elif T == 1 and cfg.flash_decode and D % 128 == 0 and k_all.shape[2] > 256:
+    elif T == 1 and cfg.flash_decode and D % 128 == 0 and S_cap > 256:
         # decode: length-aware kernel reads layer li of the stacked cache in
         # place; HBM traffic ~ live lengths, not the S_max allocation.  At
         # small allocations (S <= 256) XLA's one-shot attention is faster
-        # than the blocked kernel's fixed per-program overhead — static
-        # heuristic on the cache capacity.
+        # than the blocked kernel's fixed per-program overhead; the engine
+        # additionally dispatches flash-vs-XLA per STEP on live lengths
+        # (engine.py) — this static capacity check covers standalone callers.
         from xbitops_tpu.kernels.decode_attention import decode_attention
 
-        lens_eff = jnp.minimum(positions[:, 0] + 1, k_all.shape[2])
+        lens_eff = jnp.minimum(positions[:, 0] + 1, S_cap)
         att = decode_attention(
             q[:, 0], k_all, v_all, lens_eff, layer_idx=li,
             k_scale=ks_all, v_scale=vs_all,
         )[:, None]
     else:
         att = _attention(q, *ctx(None), mask, D ** -0.5)
-    x = x + rt.row(att.reshape(B, T, H * D), layer["wo"])
+    x = x + rt.row(att.reshape(B, T, H * D), layer["wo"], a8=a8)
 
     hx = rms_norm(x, layer["ln_mlp"], cfg.rms_eps)
     if "w_gateup" in layer:  # fused projection: one packed matmul for gate|up
-        gu = rt.col(hx, layer["w_gateup"])
+        gu = rt.col(hx, layer["w_gateup"], a8=a8)
         gate, up = gu[..., : cfg.intermediate_size], gu[..., cfg.intermediate_size :]
     else:
-        gate = rt.col(hx, layer["w_gate"])
-        up = rt.col(hx, layer["w_up"])
+        gate = rt.col(hx, layer["w_gate"], a8=a8)
+        up = rt.col(hx, layer["w_up"], a8=a8)
     act = (jax.nn.silu(gate.astype(jnp.float32)) * up.astype(jnp.float32)).astype(x.dtype)
-    x = x + rt.row(act, layer["w_down"])
+    x = x + rt.row(act, layer["w_down"], a8=a8)
     return x, (k_all, v_all, ks_all, vs_all)
 
 
@@ -458,7 +524,7 @@ def forward(
     B, T = tokens.shape
     x = params["embed"][tokens].astype(jnp.bfloat16)
 
-    S = cache.k.shape[2]
+    S = cache.S
     if self_attend:
         # mask[b, q, t]: block token t visible to query q (causal, non-pad)
         mask = (positions[:, None, :] <= positions[:, :, None]) & (
@@ -543,7 +609,7 @@ def decode_step(params, cfg, tokens, cache, rt=None, active=None):
     """
     positions = cache.lengths[:, None]
     if active is not None:
-        positions = jnp.where(active[:, None], positions, cache.k.shape[2])
+        positions = jnp.where(active[:, None], positions, cache.S)
     logits, cache = forward(params, cfg, tokens[:, None], cache, positions, rt)
     return logits[:, -1, :], cache
 
@@ -557,7 +623,7 @@ def prefill_slot(params, cfg, tokens, true_len, slot, cache, rt=None):
     (position set to S) neither write cache nor advance the slot length.
     """
     T = tokens.shape[0]
-    S = cache.k.shape[2]
+    S = cache.S
     pos = jnp.arange(T)
     positions = jnp.where(pos < true_len, pos, S)[None]
     logits, cache = forward(
@@ -585,7 +651,7 @@ def prefill_slots(params, cfg, tokens, true_lens, slots, cache, rt=None):
     logits [n, V] and the updated cache.
     """
     n, T = tokens.shape
-    S = cache.k.shape[2]
+    S = cache.S
     pos = jnp.arange(T)[None]
     positions = jnp.where(pos < true_lens[:, None], pos, S)
     logits, cache = forward(
@@ -618,7 +684,7 @@ def prefill_slot_chunk(
     final chunk ran; garbage before) and the updated cache.
     """
     C = tokens.shape[0]
-    S = cache.k.shape[2]
+    S = cache.S
     pos = start + jnp.arange(C)
     positions = jnp.where(pos < true_len, pos, S)[None]
     # reset may be traced (one compiled program for first/later chunks)
@@ -630,6 +696,37 @@ def prefill_slot_chunk(
     )
     last_in_chunk = jnp.clip(true_len - 1 - start, 0, C - 1)
     last = jax.lax.dynamic_index_in_dim(logits[0], last_in_chunk, axis=0, keepdims=False)
+    return last, cache
+
+
+def prefill_slots_chunk(
+    params, cfg, tokens, starts, true_lens, slots, cache, rt=None, resets=None
+):
+    """Batched :func:`prefill_slot_chunk`: one chunk for each of n long
+    prompts in ONE forward (the chunked-admission analog of
+    :func:`prefill_slots` — long prompts no longer pay a host dispatch per
+    request per chunk).
+
+    ``tokens`` int32 [n, C]; ``starts``/``true_lens``/``slots`` int32 [n];
+    ``resets`` bool [n] clears a recycled slot's stale length (first chunk).
+    Rows whose prompt is exhausted (or padding rows) are inert: pass
+    ``true_len = 0`` and an out-of-range slot.  Returns logits rows [n, V]
+    for each prompt's last token (meaningful once that row's final chunk ran).
+    """
+    n, C = tokens.shape
+    S = cache.S
+    pos = starts[:, None] + jnp.arange(C)[None]
+    positions = jnp.where(pos < true_lens[:, None], pos, S)
+    if resets is not None:
+        keep = jnp.where(resets, 0, cache.lengths.at[slots].get(mode="fill", fill_value=0))
+        cache = dataclasses.replace(
+            cache, lengths=cache.lengths.at[slots].set(keep, mode="drop")
+        )
+    logits, cache = forward(
+        params, cfg, tokens, cache, positions, rt, slot_ids=slots.astype(jnp.int32)
+    )
+    last_in_chunk = jnp.clip(true_lens - 1 - starts, 0, C - 1)
+    last = jnp.take_along_axis(logits, last_in_chunk[:, None, None], axis=1)[:, 0]
     return last, cache
 
 

@@ -69,7 +69,8 @@ def param_pspecs(params: dict, axis: str = "model") -> dict:
 
 
 def cache_pspecs(axis: str = "model", data_axis=None, quantized: bool = False) -> llama.KVCache:
-    sc = P(None, data_axis, None, axis) if quantized else None
+    # packed int8 cache scales are [L, B, S/4, 4, n_kv] — kv heads last
+    sc = P(None, data_axis, None, None, axis) if quantized else None
     return llama.KVCache(
         k=P(None, data_axis, None, axis, None),
         v=P(None, data_axis, None, axis, None),
@@ -136,7 +137,7 @@ def tp_decode_step(
 ):
     positions = cache.lengths[:, None]
     if active is not None:
-        positions = jnp.where(active[:, None], positions, cache.k.shape[2])
+        positions = jnp.where(active[:, None], positions, cache.S)
     logits, cache = tp_forward(
         params, cfg, mesh, tokens[:, None], cache, positions, axis, data_axis
     )
@@ -171,6 +172,40 @@ def tp_prefill_slot_chunk(
     return f(
         params, tokens, jnp.asarray(start), jnp.asarray(true_len),
         jnp.asarray(slot), jnp.asarray(reset), cache,
+    )
+
+
+def tp_prefill_slots_chunk(
+    params, cfg, mesh, tokens, starts, true_lens, slots, cache,
+    axis: str = "model", resets=None,
+):
+    """Sharded :func:`~xbitops_tpu.models.llama.prefill_slots_chunk` (one
+    chunk each for n long prompts in one forward)."""
+    tp = mesh.shape[axis]
+    local_cfg = cfg.local(tp)
+    rt = llama.TPRuntime(axis)
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(param_pspecs(params, axis), P(None, None), P(None), P(None),
+                  P(None), P(None),
+                  cache_pspecs(axis, quantized=cache.quantized)),
+        out_specs=(P(None, None), cache_pspecs(axis, quantized=cache.quantized)),
+        check_vma=False,
+    )
+    def f(params_l, tokens_l, starts_l, lens_l, slots_l, resets_l, cache_l):
+        return llama.prefill_slots_chunk(
+            params_l, local_cfg, tokens_l, starts_l, lens_l, slots_l, cache_l,
+            rt, resets=resets_l,
+        )
+
+    n = tokens.shape[0]
+    if resets is None:
+        resets = jnp.zeros((n,), bool)
+    return f(
+        params, tokens, jnp.asarray(starts), jnp.asarray(true_lens),
+        jnp.asarray(slots), jnp.asarray(resets), cache,
     )
 
 
