@@ -96,3 +96,35 @@ def test_decode_attention_int8_scales():
     vd = (vq.astype(jnp.float32) * vs_p.reshape(B, S, Hkv).astype(jnp.float32)[..., None]).astype(jnp.bfloat16)
     want = np.asarray(ref_att(q, kd, vd, lengths))
     np.testing.assert_allclose(got, want, rtol=5e-2, atol=5e-3)
+
+
+def test_decode_attention_paged():
+    """Paged pool + page-table indirection == dense-cache attention (pages
+    shuffled through the pool, one slot partial-length)."""
+    B, S, H, Hkv, D, psz = 2, 256, 8, 2, 128, 64
+    P, n_pages = S // psz, 10
+    key = jax.random.PRNGKey(5)
+    q = jax.random.normal(key, (B, H, D), jnp.bfloat16)
+    kd = jax.random.normal(jax.random.fold_in(key, 1), (B, S, Hkv, D), jnp.bfloat16)
+    vd = jax.random.normal(jax.random.fold_in(key, 2), (B, S, Hkv, D), jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    perm = rng.permutation(n_pages)[: B * P]
+    table = np.full((B, P), -1, np.int32)
+    pool_k = np.zeros((n_pages, psz, Hkv, D), np.float32)
+    pool_v = np.zeros((n_pages, psz, Hkv, D), np.float32)
+    for b in range(B):
+        for p in range(P):
+            pg = int(perm[b * P + p])
+            table[b, p] = pg
+            pool_k[pg] = np.asarray(kd[b, p * psz : (p + 1) * psz], np.float32)
+            pool_v[pg] = np.asarray(vd[b, p * psz : (p + 1) * psz], np.float32)
+    lengths = jnp.asarray([70, 256], jnp.int32)
+    got = np.asarray(
+        decode_attention(
+            q, jnp.asarray(pool_k, jnp.bfloat16), jnp.asarray(pool_v, jnp.bfloat16),
+            lengths, page_table=jnp.asarray(table),
+        ),
+        np.float32,
+    )
+    want = np.asarray(ref_att(q, kd, vd, lengths))
+    np.testing.assert_allclose(got, want, rtol=5e-2, atol=5e-3)

@@ -222,3 +222,70 @@ def test_engine_kv_quant_close_to_bf16(params):
             total += 1
             agree += int(ta == tb)
     assert agree / total >= 0.8, (agree, total, [c.tokens for c in a], [c.tokens for c in b])
+
+
+def test_engine_spec_decode_matches_greedy(params):
+    """Speculative decoding (n-gram draft + batched verify) emits EXACTLY the
+    plain greedy stream — acceptance only changes speed, never content."""
+    reqs = lambda: [Request(prompt=p, max_new_tokens=12) for p in PROMPTS[:3]]
+    plain = Engine(params, CFG, slots=2, prefill_buckets=[4, 8]).generate(reqs())
+    eng = Engine(params, CFG, slots=2, prefill_buckets=[4, 8], spec_tokens=3)
+    spec = eng.generate(reqs())
+    for a, b in zip(plain, spec):
+        assert a.tokens == b.tokens, (a.tokens, b.tokens)
+    assert eng.spec_stats["drafted"] > 0
+    # random tiny models repeat quickly: the n-gram draft should land some
+    assert eng.spec_stats["accepted"] >= 0
+
+
+def test_engine_spec_decode_int8_kv(params):
+    """Spec verify writes through the packed int8 cache's unaligned path."""
+    reqs = lambda: [Request(prompt=[3, 1, 4, 1, 5], max_new_tokens=10)]
+    plain = Engine(params, CFG, slots=2, prefill_buckets=[8],
+                   kv_quant=True).generate(reqs())
+    spec = Engine(params, CFG, slots=2, prefill_buckets=[8], kv_quant=True,
+                  spec_tokens=4).generate(reqs())
+    assert plain[0].tokens == spec[0].tokens
+
+
+def test_engine_spec_rejects_sampling(params):
+    eng = Engine(params, CFG, slots=2, prefill_buckets=[8], spec_tokens=2)
+    with pytest.raises(ValueError):
+        eng.generate([Request(prompt=[1, 2], temperature=0.7)])
+
+
+def test_engine_paged_matches_dense(params):
+    """Paged KV pool (vLLM-style page tables) emits exactly the dense-cache
+    stream — the indirection must be invisible to results."""
+    reqs = lambda: [Request(prompt=p, max_new_tokens=6) for p in PROMPTS]
+    dense = Engine(params, CFG, slots=2, prefill_buckets=[4, 8]).generate(reqs())
+    paged = Engine(params, CFG, slots=2, prefill_buckets=[4, 8], paged=True,
+                   page_size=16).generate(reqs())
+    assert [c.tokens for c in dense] == [c.tokens for c in paged]
+
+
+def test_engine_paged_pool_pressure(params):
+    """A pool smaller than slots*S_max still serves mixed long/short requests
+    correctly — slots pause when the pool runs dry and resume as pages free."""
+    S = CFG.max_seq_len  # 64
+    long_prompt = list(range(2, 2 + 40))
+    reqs = lambda: [
+        Request(prompt=long_prompt, max_new_tokens=8),
+        Request(prompt=[5, 9, 2], max_new_tokens=20),
+        Request(prompt=[7, 7], max_new_tokens=8),
+    ]
+    dense = Engine(params, CFG, slots=2, prefill_buckets=[4, 8, 48],
+                   prefill_chunk=48).generate(reqs())
+    # pool = 5 pages x 16 = 80 positions for 2 slots x 64 virtual
+    paged = Engine(params, CFG, slots=2, prefill_buckets=[4, 8, 48],
+                   prefill_chunk=48, paged=True, page_size=16,
+                   pool_pages=5).generate(reqs())
+    assert [c.tokens for c in dense] == [c.tokens for c in paged]
+    assert [c.finish_reason for c in dense] == [c.finish_reason for c in paged]
+
+
+def test_engine_paged_pool_too_small(params):
+    eng = Engine(params, CFG, slots=1, prefill_buckets=[4, 8, 64],
+                 paged=True, page_size=16, pool_pages=2)
+    with pytest.raises(RuntimeError, match="pool too small"):
+        eng.generate([Request(prompt=list(range(1, 50)), max_new_tokens=2)])

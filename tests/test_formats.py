@@ -177,15 +177,25 @@ def test_min_tile_k_enforced():
 @pytest.mark.parametrize("bits", [3, 5, 6, 7])
 def test_storage_bits_pow2_padding(bits):
     """Pad-to-pow2 storage: same values/scales in the next power-of-two's
-    planes — dequant identical, kernels run the single/fewer-plane fast path."""
+    planes — dequant identical, kernels run the single/fewer-plane fast path.
+    ("auto" pads only the widths measured slower than padded storage; an
+    explicit int forces padding for the rest.)"""
     import xbitops_tpu as xb
 
     rng = np.random.default_rng(bits)
     w = (rng.standard_normal((256, 128)) * 0.1).astype(np.float32)
     qt_p = xb.quantize_array(jnp.asarray(w), bits, 64, storage_bits="packed")
-    qt_a = xb.quantize_array(jnp.asarray(w), bits, 64, storage_bits="auto")
+    auto = xb.quantize_array(jnp.asarray(w), bits, 64, storage_bits="auto")
+    if bits in formats.AUTO_PAD_WIDTHS:
+        assert auto.bits == formats.POW2_STORAGE[bits] and auto.value_bits == bits
+        qt_a = auto
+    else:
+        assert auto.bits == bits and auto.value_bits is None  # packed is faster
+        qt_a = xb.quantize_array(
+            jnp.asarray(w), bits, 64, storage_bits=formats.POW2_STORAGE[bits]
+        )
+        assert qt_a.bits == formats.POW2_STORAGE[bits] and qt_a.value_bits == bits
     assert qt_p.bits == bits and qt_p.value_bits is None
-    assert qt_a.bits == formats.POW2_STORAGE[bits] and qt_a.value_bits == bits
     wp = np.asarray(formats.dequant_qtensor_reference(qt_p, out_dtype=jnp.float32))
     wa = np.asarray(formats.dequant_qtensor_reference(qt_a, out_dtype=jnp.float32))
     np.testing.assert_array_equal(wp, wa)

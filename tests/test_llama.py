@@ -199,3 +199,49 @@ def test_flash_decode_matches_xla_attention():
     np.testing.assert_allclose(
         np.asarray(lf, np.float32), np.asarray(lx, np.float32), rtol=3e-2, atol=3e-2
     )
+
+
+def test_rope_scaling_linear_and_ntk():
+    """Linear scaling == unscaled RoPE at positions/factor; NTK == stretched
+    theta; unknown types rejected."""
+    from xbitops_tpu.models.llama import _rope
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 4, 2, 128), jnp.float32)
+    pos = jnp.asarray([[0, 10, 100, 4000]])
+    lin = _rope(x, pos, 10000.0, "linear", 4.0)
+    ref = _rope(x, pos / 4.0, 10000.0)
+    np.testing.assert_allclose(np.asarray(lin), np.asarray(ref), rtol=1e-6)
+    ntk = _rope(x, pos, 10000.0, "ntk", 4.0)
+    ref2 = _rope(x, pos, 10000.0 * 4.0 ** (128 / 126))
+    np.testing.assert_allclose(np.asarray(ntk), np.asarray(ref2), rtol=1e-6)
+    with pytest.raises(ValueError):
+        _rope(x, pos, 10000.0, "yarn", 2.0)
+
+
+def test_rope_scaling_extends_context():
+    """A model decoding past its stock context stays finite/stable with
+    linear scaling enabled (positions re-enter the trained range)."""
+    import dataclasses
+
+    cfg = llama.LlamaConfig.tiny(seq=512)
+    cfg4 = dataclasses.replace(cfg, rope_scaling_type="linear",
+                               rope_scaling_factor=4.0)
+    params = llama.init_params(jax.random.PRNGKey(1), cfg4, bits=4, group_size=32)
+    cache = llama.KVCache.init(cfg4, 1)
+    cache = dataclasses.replace(cache, lengths=jnp.asarray([500], jnp.int32))
+    logits, cache = llama.decode_step(params, cfg4, jnp.asarray([3], jnp.int32), cache)
+    assert bool(jnp.all(jnp.isfinite(logits.astype(jnp.float32))))
+    assert int(cache.lengths[0]) == 501
+
+
+def test_hf_rope_scaling_parsed():
+    from xbitops_tpu.io.gptq_loader import llama_config_from_hf
+
+    base = dict(vocab_size=32000, hidden_size=256, intermediate_size=512,
+                num_hidden_layers=2, num_attention_heads=4)
+    c1 = llama_config_from_hf({**base, "rope_scaling": {"type": "linear", "factor": 8.0}})
+    assert c1.rope_scaling_type == "linear" and c1.rope_scaling_factor == 8.0
+    c2 = llama_config_from_hf({**base, "rope_scaling": {"rope_type": "dynamic", "factor": 2.0}})
+    assert c2.rope_scaling_type == "ntk"
+    c3 = llama_config_from_hf(base)
+    assert c3.rope_scaling_type is None

@@ -77,6 +77,10 @@ class Engine:
         decode_burst: int = 1,
         prefill_chunk: int = 512,
         kv_quant: bool = False,
+        spec_tokens: int = 0,
+        paged: bool = False,
+        pool_pages: Optional[int] = None,
+        page_size: int = 256,
     ):
         """``decode_burst`` chains that many decode steps in one device
         dispatch (a ``lax.scan``): host<->device round-trip latency amortizes
@@ -85,9 +89,25 @@ class Engine:
 
         Prompts longer than ``prefill_chunk`` prefill in fixed chunks that
         attend the cache (O(chunk * S) attention memory instead of O(T^2)).
-        ``kv_quant`` stores the KV cache as int8 with per-(token, head)
-        scales: twice the context capacity per HBM byte, near-lossless
-        (a capacity knob — the int8 dequant costs some decode latency)."""
+        ``kv_quant`` stores the KV cache as int8, lane-major packed (4
+        positions per int32 word) with per-(token, head) scales: twice the
+        context capacity per HBM byte, near-lossless.
+
+        ``paged=True`` allocates the KV cache as a shared page POOL of
+        ``pool_pages`` pages x ``page_size`` positions with per-slot page
+        tables (vLLM-style): HBM cost follows the pool, not
+        slots * max_seq_len, so mixed long/short batches fit; slots that
+        outrun the free pool pause until pages free up.  Decode attention
+        reads pages through scalar-prefetch index maps — no gathers on the
+        hot path.
+
+        ``spec_tokens`` (gamma > 0) enables speculative decoding: each step
+        drafts gamma tokens per slot by n-gram lookup in the slot's own
+        history and verifies them in ONE forward (decode is weight-bound, so
+        the extra tokens are nearly free) — accepted drafts multiply
+        tokens/step on repetitive continuations at zero quality loss.
+        Greedy-only (all requests must have temperature <= 0); mutually
+        exclusive with ``decode_burst > 1``."""
         self.cfg = cfg
         self.slots = slots
         self.mesh = mesh
@@ -104,8 +124,12 @@ class Engine:
             if self.prefill_chunk % 4:
                 raise ValueError("kv_quant requires prefill_chunk % 4 == 0")
         self.decode_burst = max(1, decode_burst)
+        self.spec_tokens = max(0, spec_tokens)
+        if self.spec_tokens and self.decode_burst > 1:
+            raise ValueError("spec_tokens and decode_burst > 1 are exclusive")
         self._key = jax.random.PRNGKey(seed)
         self._next_id = 0
+        self.spec_stats = {"drafted": 0, "accepted": 0}
 
         # stacked layers: O(1) compile in depth; the fused kernel indexes the
         # stacked planes in place (no per-step copy). Falls back to the layer
@@ -126,7 +150,24 @@ class Engine:
         except (ValueError, TypeError):
             pass
 
-        cache = llama.KVCache.init(cfg, slots, dtype=cache_dtype, quantized=kv_quant)
+        self.paged = paged
+        if paged:
+            if kv_quant:
+                raise NotImplementedError("paged + int8 KV cache")
+            if not cfg.flash_decode or cfg.head_dim % 128:
+                raise ValueError("paged KV requires the flash decode kernel")
+            if cfg.max_seq_len % page_size:
+                raise ValueError("max_seq_len must be a multiple of page_size")
+            self.page_size = page_size
+            n_pages = pool_pages or slots * (cfg.max_seq_len // page_size)
+            cache = llama.KVCache.init_paged(
+                cfg, slots, n_pages, page_size, dtype=cache_dtype
+            )
+            self._free_pages = list(range(n_pages))
+            self._slot_pages: List[List[int]] = [[] for _ in range(slots)]
+            self._table = np.full((slots, cfg.max_seq_len // page_size), -1, np.int32)
+        else:
+            cache = llama.KVCache.init(cfg, slots, dtype=cache_dtype, quantized=kv_quant)
         if mesh is not None:
             from xbitops_tpu.parallel import model_tp
 
@@ -223,6 +264,27 @@ class Engine:
 
             return decode_fn
 
+        if self.spec_tokens:
+            if mesh is None:
+                def base_spec(params, cache, tokens, active):
+                    return llama.spec_verify_step(
+                        params, cfg, tokens, cache, active=active
+                    )
+            else:
+                from xbitops_tpu.parallel import model_tp
+
+                def base_spec(params, cache, tokens, active):
+                    return model_tp.tp_spec_verify_step(
+                        params, cfg, mesh, tokens, cache, axis, active=active
+                    )
+
+            @partial(jax.jit, donate_argnums=(1,))
+            def spec_fn(params, cache, tokens, active):
+                greedy, accepted, cache = base_spec(params, cache, tokens, active)
+                return greedy, accepted, cache
+
+            self._spec_fn = spec_fn
+
         self._prefill_fn = prefill_fn
         # Flash-vs-XLA attention is dispatched PER STEP on live lengths (the
         # engine knows them host-side), not on the cache allocation: a
@@ -239,6 +301,49 @@ class Engine:
             self._decode_fn_short = make_decode_fn(
                 dataclasses.replace(cfg, flash_decode=False)
             )
+
+    # --- paged-pool allocator (host side) ---
+
+    def _pages_for(self, b: int, upto: int) -> bool:
+        """Ensure slot ``b`` owns pages covering positions [0, upto); False if
+        the pool can't satisfy it right now (caller defers the slot)."""
+        need = -(-upto // self.page_size)
+        have = len(self._slot_pages[b])
+        if need > self._table.shape[1]:
+            need = self._table.shape[1]  # capacity cap handles the rest
+        if need - have > len(self._free_pages):
+            return False
+        for i in range(have, need):
+            p = self._free_pages.pop()
+            self._table[b, i] = p
+            self._slot_pages[b].append(p)
+        return True
+
+    def _release_pages(self, b: int) -> None:
+        self._free_pages.extend(self._slot_pages[b])
+        self._slot_pages[b] = []
+        self._table[b, :] = -1
+
+    def _push_table(self) -> None:
+        self.cache = dataclasses.replace(
+            self.cache, page_table=jnp.asarray(self._table)
+        )
+
+    @staticmethod
+    def _draft(hist, gamma):
+        """n-gram (prompt-lookup) draft: continue from the most recent earlier
+        occurrence of the trailing bigram in the slot's own history; pad with
+        the last token.  Wrong drafts only cost the already-paid verify slot."""
+        out = []
+        if len(hist) >= 2:
+            a, b = hist[-2], hist[-1]
+            for j in range(len(hist) - 3, -1, -1):
+                if hist[j] == a and hist[j + 1] == b:
+                    out = list(hist[j + 2 : j + 2 + gamma])
+                    break
+        while len(out) < gamma:
+            out.append(hist[-1] if hist else 0)
+        return np.asarray(out[:gamma], np.int32)
 
     def _bucket(self, n: int) -> int:
         for b in self.buckets:
@@ -274,6 +379,11 @@ class Engine:
             self._next_id = max(self._next_id, r.id + 1)
             if len(r.prompt) >= S:
                 raise ValueError(f"prompt length {len(r.prompt)} >= max_seq_len {S}")
+            if self.spec_tokens and r.temperature > 0:
+                raise ValueError(
+                    "speculative decoding verifies greedily; temperature > 0 "
+                    "requests need spec_tokens=0"
+                )
             pending.append(r)
 
         slot_req: List[Optional[Request]] = [None] * self.slots
@@ -290,6 +400,8 @@ class Engine:
             slot_req[b] = None
             slot_gen[b] = []
             active[b] = False
+            if self.paged:
+                self._release_pages(b)
 
         def accept(b: int, tok: int) -> None:
             """Record one generated token for slot b; retire if finished."""
@@ -315,12 +427,31 @@ class Engine:
             admit, longs = [], []
             for b in range(self.slots):
                 if not active[b] and pending:
+                    # paged: a request admits only if the pool can back its
+                    # whole prompt; otherwise it waits for running slots to
+                    # finish and free pages
+                    if self.paged and not self._pages_for(
+                        b, len(pending[0].prompt) + 1
+                    ):
+                        break
                     r = pending.popleft()
                     prompt = list(r.prompt)
                     if len(prompt) <= self.buckets[-1]:
                         admit.append((b, r, prompt))
                     else:
                         longs.append((b, r, prompt))
+            if (
+                self.paged and pending and not (admit or longs)
+                and not active.any()
+            ):
+                need = -(-(len(pending[0].prompt) + 1) // self.page_size)
+                raise RuntimeError(
+                    f"paged KV pool too small: request needs {need} pages, "
+                    f"pool has {len(self._free_pages)} free and nothing "
+                    f"running to release more"
+                )
+            if self.paged and (admit or longs):
+                self._push_table()
 
             if longs:
                 C = self.prefill_chunk
@@ -385,6 +516,50 @@ class Engine:
             if not active.any():
                 continue
 
+            # paged: slots about to write need their next page(s); slots the
+            # pool can't serve this step sit out and resume when pages free
+            steps = (self.spec_tokens + 1) if self.spec_tokens else self.decode_burst
+            step_active = active.copy()
+            if self.paged:
+                for b in range(self.slots):
+                    if active[b] and not self._pages_for(
+                        b, min(int(slot_len[b]) + steps, S)
+                    ):
+                        step_active[b] = False
+                if not step_active.any():
+                    raise RuntimeError(
+                        "paged KV pool exhausted: every active slot is blocked"
+                    )
+                self._push_table()
+
+            if self.spec_tokens:
+                gamma = self.spec_tokens
+                toks = np.zeros((self.slots, gamma + 1), np.int32)
+                for b in range(self.slots):
+                    if step_active[b]:
+                        hist = list(slot_req[b].prompt) + slot_gen[b]
+                        toks[b, 0] = cur_tok[b]
+                        toks[b, 1:] = self._draft(hist, gamma)
+                greedy, accepted, self.cache = self._spec_fn(
+                    self.params, self.cache, jnp.asarray(toks),
+                    jnp.asarray(step_active)
+                )
+                g = np.asarray(jax.device_get(greedy))
+                acc = np.asarray(jax.device_get(accepted))
+                for b in range(self.slots):
+                    if not step_active[b]:
+                        continue
+                    a = int(acc[b])
+                    self.spec_stats["drafted"] += gamma
+                    self.spec_stats["accepted"] += a
+                    emitted = list(toks[b, 1 : 1 + a]) + [int(g[b, a])]
+                    # device capped cache writes at capacity — mirror it
+                    emitted = emitted[: max(0, S - int(slot_len[b]))]
+                    for tok in emitted:
+                        if active[b]:
+                            accept(b, int(tok))
+                continue
+
             decode = self._decode_fn
             if self._decode_dispatch:
                 # live-length dispatch: below ~256 positions XLA's one-shot
@@ -394,12 +569,12 @@ class Engine:
                     decode = self._decode_fn_short
             toks_dev, self.cache = decode(
                 self.params, self.cache, jnp.asarray(cur_tok),
-                jnp.asarray(active), self._split_key(), jnp.asarray(temps),
+                jnp.asarray(step_active), self._split_key(), jnp.asarray(temps),
             )
             toks = np.asarray(jax.device_get(toks_dev))  # [burst, B]
             for step in range(toks.shape[0]):
                 for b in range(self.slots):
-                    if active[b]:
+                    if step_active[b] and active[b]:
                         accept(b, int(toks[step, b]))
                 if not active.any():
                     break  # rest of the burst is garbage for every slot

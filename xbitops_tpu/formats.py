@@ -83,14 +83,17 @@ PLANE_DECOMP: dict[int, Tuple[int, ...]] = {
 
 SUPPORTED_BITS = tuple(sorted(PLANE_DECOMP))
 
-# Storage-width policy.  Multi-plane widths (3/5/6/7) decode slower than the
-# next power-of-two width (one dot + one extraction per plane per chunk); for
-# speed-critical deployments the quantized VALUES stay b-bit but are STORED in
-# the next power-of-two's planes — trading bytes (4/3x for 3-bit, 8/b for
-# 5/6/7) for the single-plane kernel's wall-clock.  ``"auto"`` applies the
-# measured-on-v5e win set below; ``"packed"`` keeps exact b-bit storage.
+# Storage-width policy.  Some multi-plane widths decode slower than the next
+# power-of-two width (one dot + one extraction per plane per chunk); for
+# speed-critical deployments the quantized VALUES stay b-bit but are STORED
+# in the next power-of-two's planes — trading bytes for the wider kernel's
+# wall-clock.  ``"auto"`` applies the set measured on v5e (M=8, 4096x4096,
+# g=128, mask-only extraction): 3-bit 21.5us packed vs 15.0 padded and 7-bit
+# 34.3 vs 26.8 pad up; 5-bit (24.4 vs 26.7) and 6-bit (23.2 vs 26.8) stay
+# packed — their native planes now BEAT 8-bit storage's extra bytes.
+# ``"packed"`` always keeps exact b-bit storage.
 POW2_STORAGE = {1: 1, 2: 2, 3: 4, 4: 4, 5: 8, 6: 8, 7: 8, 8: 8}
-AUTO_PAD_WIDTHS = frozenset({3, 5, 6, 7})
+AUTO_PAD_WIDTHS = frozenset({3, 7})
 
 
 def resolve_storage_bits(bits: int, storage_bits) -> int:

@@ -44,6 +44,12 @@ def _load_safetensors_dir(path: Path) -> dict:
 
 def llama_config_from_hf(cfg: dict, max_seq_len: Optional[int] = None) -> LlamaConfig:
     heads = cfg["num_attention_heads"]
+    # HF rope_scaling: {"type"|"rope_type": "linear"|"dynamic", "factor": f};
+    # "dynamic" is NTK-aware scaling
+    rs = cfg.get("rope_scaling") or {}
+    rs_type = {"linear": "linear", "dynamic": "ntk", "ntk": "ntk"}.get(
+        rs.get("type", rs.get("rope_type"))
+    )
     return LlamaConfig(
         vocab_size=cfg["vocab_size"],
         hidden_size=cfg["hidden_size"],
@@ -55,6 +61,8 @@ def llama_config_from_hf(cfg: dict, max_seq_len: Optional[int] = None) -> LlamaC
         rope_theta=cfg.get("rope_theta", 10000.0),
         rms_eps=cfg.get("rms_norm_eps", 1e-5),
         max_seq_len=max_seq_len or min(cfg.get("max_position_embeddings", 2048), 4096),
+        rope_scaling_type=rs_type,
+        rope_scaling_factor=float(rs.get("factor", 1.0)),
     )
 
 

@@ -46,9 +46,11 @@ from xbitops_tpu.kernels import common
 NEG_INF = -1e30
 
 
-def _kernel(bs, rep, Hkv, D, scale, stacked, has_scales, *refs):
+def _kernel(bs, rep, Hkv, D, scale, stacked, has_scales, paged, *refs):
     refs = list(refs)
     lens_ref = refs.pop(0)
+    if paged:
+        refs.pop(0)  # page-table scalar ref (consumed by the index maps)
     if stacked:
         refs.pop(0)  # layer-index scalar ref (consumed by the index maps)
     q_ref, k_ref, v_ref = refs[0], refs[1], refs[2]
@@ -148,6 +150,7 @@ def decode_attention(
     layer_idx: Optional[jax.Array] = None,
     k_scale: Optional[jax.Array] = None,  # [(L,) B, S/4, 4, Hkv]: int8 cache
     v_scale: Optional[jax.Array] = None,
+    page_table: Optional[jax.Array] = None,  # int32 [B, P]: paged pool cache
 ) -> jax.Array:
     """Softmax(q k^T / sqrt(D)) v over each slot's first ``lengths[b]`` cache
     positions; returns [B, H, D].  HBM reads scale with ``lengths``, not S.
@@ -155,19 +158,34 @@ def decode_attention(
     With ``k_scale``/``v_scale`` the cache is the lane-major packed int8
     layout (``models.llama.KVCache`` quantized: int32 words of 4 consecutive
     positions along S) and blocks dequantize in-register — half the DMA bytes
-    of the bf16 cache."""
+    of the bf16 cache.
+
+    With ``page_table`` the k/v operands are page POOLS
+    ``[(L,) n_pages, page_size, Hkv, D]`` and grid step ``s`` of slot ``b``
+    streams pool page ``page_table[b, s]`` — the indirection lives entirely
+    in the scalar-prefetch-driven index maps, so the kernel body is the
+    dense-cache body unchanged and HBM traffic stays ~ live lengths."""
     if interpret is None:
         interpret = common.interpret_default()
     stacked = layer_idx is not None
     has_scales = k_scale is not None
+    paged = page_table is not None
     B, H, D = q.shape
     pack = 4 if has_scales else 1
-    S, Hkv = k.shape[-3] * pack, k.shape[-2]
+    Hkv = k.shape[-2]
+    if paged:
+        assert not has_scales, "paged + int8 cache not combined yet"
+        psz = k.shape[-3]
+        P = page_table.shape[1]
+        S = P * psz
+        bs, n_blocks, bw = psz, P, psz
+    else:
+        S = k.shape[-3] * pack
+        bs = min(block_s, S)  # positions per block (a multiple of `pack`)
+        n_blocks = common.cdiv(S, bs)
+        bw = bs // pack  # word rows per block
     assert H % Hkv == 0
     rep = H // Hkv
-    bs = min(block_s, S)  # positions per block (a multiple of `pack`)
-    n_blocks = common.cdiv(S, bs)
-    bw = bs // pack  # word rows per block
     # query head h*rep+r shares kv head h (jnp.repeat convention)
     q4 = q.reshape(B, Hkv, rep, D)
 
@@ -176,6 +194,71 @@ def decode_attention(
         # Mosaic reuses the already-resident block, no HBM traffic
         last = jnp.maximum(lens[b] - 1, 0) // bs
         return jnp.minimum(s, last)
+
+    if paged:
+        def page_of(s, lens, tbl, b):
+            # pool page for this grid step (clamped like `clamp`; unallocated
+            # entries only reach here for length-0 slots, whose programs skip
+            # all compute — max() keeps the DMA address valid)
+            return jnp.maximum(tbl[b * P + clamp(s, lens, b)], 0)
+
+        if stacked:
+            q_spec = pl.BlockSpec(
+                (1, Hkv, rep, D), lambda b, s, lens, tbl, li: (b, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+            kv_spec = pl.BlockSpec(
+                (1, 1, bs, Hkv, D),
+                lambda b, s, lens, tbl, li: (li[0], page_of(s, lens, tbl, b), 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+            o_spec = pl.BlockSpec(
+                (1, Hkv, rep, D), lambda b, s, lens, tbl, li: (b, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+            n_prefetch = 3
+            args = [lengths.astype(jnp.int32),
+                    page_table.astype(jnp.int32).reshape(-1),
+                    jnp.asarray(layer_idx, jnp.int32).reshape(1), q4, k, v]
+        else:
+            q_spec = pl.BlockSpec(
+                (1, Hkv, rep, D), lambda b, s, lens, tbl: (b, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+            kv_spec = pl.BlockSpec(
+                (1, bs, Hkv, D),
+                lambda b, s, lens, tbl: (page_of(s, lens, tbl, b), 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+            o_spec = pl.BlockSpec(
+                (1, Hkv, rep, D), lambda b, s, lens, tbl: (b, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+            n_prefetch = 2
+            args = [lengths.astype(jnp.int32),
+                    page_table.astype(jnp.int32).reshape(-1), q4, k, v]
+        out = pl.pallas_call(
+            functools.partial(
+                _kernel, bs, rep, Hkv, D, D ** -0.5, stacked, False, True
+            ),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=n_prefetch,
+                grid=(B, n_blocks),
+                in_specs=[q_spec, kv_spec, kv_spec],
+                out_specs=o_spec,
+                scratch_shapes=[
+                    pltpu.VMEM((rep, Hkv), jnp.float32),
+                    pltpu.VMEM((rep, Hkv), jnp.float32),
+                    pltpu.VMEM((rep, Hkv, D), jnp.float32),
+                ],
+            ),
+            out_shape=jax.ShapeDtypeStruct((B, Hkv, rep, D), q.dtype),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "arbitrary"),
+            ),
+            interpret=interpret,
+        )(*args)
+        return out.reshape(B, H, D)
 
     if stacked:
         q_spec = pl.BlockSpec(
@@ -225,7 +308,9 @@ def decode_attention(
         args += [k_scale, v_scale]
 
     out = pl.pallas_call(
-        functools.partial(_kernel, bs, rep, Hkv, D, D ** -0.5, stacked, has_scales),
+        functools.partial(
+            _kernel, bs, rep, Hkv, D, D ** -0.5, stacked, has_scales, False
+        ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=n_prefetch,
             grid=(B, n_blocks),

@@ -40,9 +40,19 @@ class LlamaConfig:
     # with live lengths, not the cache allocation); XLA fallback if False
     flash_decode: bool = True
     # W4A8 prefill: projections on T >= 32 token blocks quantize activations
-    # per-row to int8 and use the MXU's s8xs8 path (2x MAC rate; ~0.5-1%
-    # activation rounding).  Decode (T == 1) always stays bf16.
+    # per-row to int8 and use the MXU's s8xs8 path (~0.5-1% activation
+    # rounding).  Measured on v5e at M=512/g=128: ~1.0-1.05x vs the bf16 path
+    # — the 2x MXU rate is offset by the per-group f32 rescale of the (M, N)
+    # accumulator on the VPU (3 lane-ops per output per group; the bf16 path
+    # pays the same rescale but its MXU work is big enough to hide it).
+    # Worth enabling only with coarse groups / per-channel scales, where the
+    # rescale amortizes.  Decode (T == 1) always stays bf16.
     prefill_a8: bool = False
+    # Long-context RoPE scaling: "linear" divides positions by `factor`
+    # (position interpolation), "ntk" stretches the base theta by
+    # factor^(d/(d-2)) (NTK-aware interpolation).  None = stock RoPE.
+    rope_scaling_type: Optional[str] = None  # None | "linear" | "ntk"
+    rope_scaling_factor: float = 1.0
 
     @staticmethod
     def llama2_7b() -> "LlamaConfig":
@@ -206,18 +216,39 @@ class KVCache:
     lengths: jax.Array  # int32 [B]
     k_scale: Optional[jax.Array] = None  # bf16 [L, B, S/4, 4, n_kv] (int8 cache)
     v_scale: Optional[jax.Array] = None
+    # Paged mode: k/v are page POOLS [L, n_pages, page_size, n_kv, head_dim]
+    # shared by all slots, and `page_table` int32 [B, P] maps each slot's
+    # virtual page p to a pool page (-1 = unallocated).  Slots stop paying
+    # S_max HBM each — the engine's allocator hands pages out on demand, so a
+    # pool sized for the expected TOTAL context serves mixed long/short
+    # batches that would not fit dense per-slot allocations.
+    page_table: Optional[jax.Array] = None
 
     @property
     def quantized(self) -> bool:
         return self.k_scale is not None
 
     @property
+    def paged(self) -> bool:
+        return self.page_table is not None
+
+    @property
+    def page_size(self) -> int:
+        assert self.paged
+        return self.k.shape[2]
+
+    @property
     def S(self) -> int:
-        """Cache capacity in positions (the packed word axis covers 4 each)."""
+        """Per-slot capacity in positions (virtual for a paged cache)."""
+        if self.paged:
+            return self.page_table.shape[1] * self.k.shape[2]
         return self.k.shape[2] * (4 if self.quantized else 1)
 
     def tree_flatten(self):
-        return (self.k, self.v, self.lengths, self.k_scale, self.v_scale), None
+        return (
+            self.k, self.v, self.lengths, self.k_scale, self.v_scale,
+            self.page_table,
+        ), None
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -241,6 +272,28 @@ class KVCache:
         return KVCache(
             k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype),
             lengths=jnp.zeros((batch,), jnp.int32),
+        )
+
+    @staticmethod
+    def init_paged(
+        cfg: LlamaConfig,
+        batch: int,
+        pool_pages: int,
+        page_size: int = 256,
+        dtype=jnp.bfloat16,
+    ) -> "KVCache":
+        """Paged cache: a shared pool of ``pool_pages`` pages of ``page_size``
+        positions each (HBM cost ~ pool size, not slots * S_max) plus an
+        all-unallocated page table.  ``page_size`` must equal the flash-decode
+        block so one grid step maps to one page."""
+        if cfg.max_seq_len % page_size:
+            raise ValueError("max_seq_len must be a multiple of page_size")
+        P = cfg.max_seq_len // page_size
+        pool = (cfg.num_layers, pool_pages, page_size, cfg.num_kv_heads, cfg.head_dim)
+        return KVCache(
+            k=jnp.zeros(pool, dtype), v=jnp.zeros(pool, dtype),
+            lengths=jnp.zeros((batch,), jnp.int32),
+            page_table=jnp.full((batch, P), -1, jnp.int32),
         )
 
 
@@ -315,11 +368,28 @@ def rms_norm(x: jax.Array, w: jax.Array, eps: float) -> jax.Array:
     return (xf * jax.lax.rsqrt(var + eps) * w).astype(x.dtype)
 
 
-def _rope(x: jax.Array, positions: jax.Array, theta: float) -> jax.Array:
-    """Rotate-half RoPE (HF Llama convention). x: [..., T, heads, head_dim]."""
+def _rope(
+    x: jax.Array,
+    positions: jax.Array,
+    theta: float,
+    scaling_type: Optional[str] = None,
+    scaling_factor: float = 1.0,
+) -> jax.Array:
+    """Rotate-half RoPE (HF Llama convention). x: [..., T, heads, head_dim].
+
+    ``scaling_type``: "linear" = position interpolation (positions / factor);
+    "ntk" = NTK-aware base stretch theta * factor^(d/(d-2)) — both extend a
+    model trained at a shorter context to ``factor`` times the length."""
     hd = x.shape[-1]
+    pos = positions.astype(jnp.float32)
+    if scaling_type == "linear":
+        pos = pos / float(scaling_factor)
+    elif scaling_type == "ntk":
+        theta = theta * float(scaling_factor) ** (hd / (hd - 2))
+    elif scaling_type is not None:
+        raise ValueError(f"unknown rope scaling type {scaling_type!r}")
     freqs = theta ** (-jnp.arange(0, hd // 2, dtype=jnp.float32) / (hd // 2))
-    ang = positions.astype(jnp.float32)[..., :, None] * freqs[None, :]  # [..., T, hd/2]
+    ang = pos[..., :, None] * freqs[None, :]  # [..., T, hd/2]
     cos = jnp.cos(ang)[..., None, :]  # [..., T, 1, hd/2]
     sin = jnp.sin(ang)[..., None, :]
     x1, x2 = x[..., : hd // 2], x[..., hd // 2 :]
@@ -373,7 +443,7 @@ def _unpack_kv_words(words, scales):
 
 def _block(
     layer, cfg: LlamaConfig, rt: Runtime, x, positions, kv, li, mask,
-    slot_ids=None, self_attend=False,
+    slot_ids=None, self_attend=False, kv_unaligned=False, page_table=None,
 ):
     """One transformer block on [B, T, h_local-agnostic].
 
@@ -407,8 +477,10 @@ def _block(
         q = rt.col(hx, layer["wq"], a8=a8).reshape(B, T, H, D)
         k = rt.col(hx, layer["wk"], a8=a8).reshape(B, T, Hkv, D)
         v = rt.col(hx, layer["wv"], a8=a8).reshape(B, T, Hkv, D)
-    q = _rope(q, positions, cfg.rope_theta)
-    k = _rope(k, positions, cfg.rope_theta)
+    q = _rope(q, positions, cfg.rope_theta, cfg.rope_scaling_type,
+              cfg.rope_scaling_factor)
+    k = _rope(k, positions, cfg.rope_theta, cfg.rope_scaling_type,
+              cfg.rope_scaling_factor)
 
     # Scatter new k/v into the cache at each slot's position.  JAX drops
     # out-of-bounds scatter updates, so positions >= S (padding / inactive
@@ -418,26 +490,31 @@ def _block(
     if ks_all is not None:  # int8 cache, lane-major packed (4 positions/word)
         kq, ks = _quant_kv(k)
         vq, vs = _quant_kv(v)
-        if T == 1:
-            # decode: read-modify-write one byte of each (head, dim) word
-            w_idx = positions // 4  # (B, 1); OOB (pad) words drop
-            byte = positions % 4
-            sh = (byte * 8)[..., None, None]  # (B, 1, 1, 1)
-            keep = ~(255 << sh)
-            oldk = k_all.at[li, b_idx, w_idx].get(mode="fill", fill_value=0)
-            oldv = v_all.at[li, b_idx, w_idx].get(mode="fill", fill_value=0)
-            k_all = k_all.at[li, b_idx, w_idx].set(
-                (oldk & keep) | ((kq & 255) << sh), mode="drop"
-            )
-            v_all = v_all.at[li, b_idx, w_idx].set(
-                (oldv & keep) | ((vq & 255) << sh), mode="drop"
-            )
-            ks_all = ks_all.at[li, b_idx, w_idx, byte].set(
-                ks.astype(ks_all.dtype), mode="drop"
-            )
-            vs_all = vs_all.at[li, b_idx, w_idx, byte].set(
-                vs.astype(vs_all.dtype), mode="drop"
-            )
+        if T == 1 or kv_unaligned:
+            # decode / unaligned small writes (speculative verify starts at an
+            # arbitrary length): read-modify-write one byte per position.
+            # T is static and small — the loop unrolls.
+            for t in range(T):
+                pos_t = positions[:, t : t + 1]
+                w_idx = pos_t // 4  # (B, 1); OOB (pad) words drop
+                byte = pos_t % 4
+                sh = (byte * 8)[..., None, None]  # (B, 1, 1, 1)
+                keep = ~(255 << sh)
+                kq_t, vq_t = kq[:, t : t + 1], vq[:, t : t + 1]
+                oldk = k_all.at[li, b_idx, w_idx].get(mode="fill", fill_value=0)
+                oldv = v_all.at[li, b_idx, w_idx].get(mode="fill", fill_value=0)
+                k_all = k_all.at[li, b_idx, w_idx].set(
+                    (oldk & keep) | ((kq_t & 255) << sh), mode="drop"
+                )
+                v_all = v_all.at[li, b_idx, w_idx].set(
+                    (oldv & keep) | ((vq_t & 255) << sh), mode="drop"
+                )
+                ks_all = ks_all.at[li, b_idx, w_idx, byte].set(
+                    ks[:, t : t + 1].astype(ks_all.dtype), mode="drop"
+                )
+                vs_all = vs_all.at[li, b_idx, w_idx, byte].set(
+                    vs[:, t : t + 1].astype(vs_all.dtype), mode="drop"
+                )
         else:
             # prefill: whole words (positions are 4-aligned contiguous runs —
             # engine chunk/bucket sizes are multiples of 4; trailing pads sit
@@ -452,6 +529,23 @@ def _block(
             vs_all = vs_all.at[li, b_idx, wpos].set(
                 vs.reshape(B, T // 4, 4, -1).astype(vs_all.dtype), mode="drop"
             )
+    elif page_table is not None:
+        # paged pool: virtual position -> (pool page via table, in-page row).
+        # Unallocated (-1) / past-capacity positions redirect to a POSITIVE
+        # out-of-bounds page so mode="drop" discards them (a negative index
+        # would wrap to the last pool page, like numpy indexing).
+        psz = k_all.shape[2]
+        P = page_table.shape[1]
+        n_pages = k_all.shape[1]
+        tbl_rows = page_table[b_idx[:, 0]]  # (B, P)
+        pageidx = positions // psz
+        page = jnp.take_along_axis(
+            tbl_rows, jnp.minimum(pageidx, P - 1), axis=1
+        )
+        page = jnp.where((pageidx < P) & (page >= 0), page, n_pages)
+        row = positions % psz
+        k_all = k_all.at[li, page, row].set(k.astype(k_all.dtype), mode="drop")
+        v_all = v_all.at[li, page, row].set(v.astype(v_all.dtype), mode="drop")
     else:
         k_all = k_all.at[li, b_idx, positions].set(k.astype(k_all.dtype), mode="drop")
         v_all = v_all.at[li, b_idx, positions].set(v.astype(v_all.dtype), mode="drop")
@@ -459,6 +553,17 @@ def _block(
     def ctx(rows):
         """Dequantized attention context for cache rows [li] (all or a subset)."""
         kc, vc = k_all[li], v_all[li]
+        if page_table is not None:
+            # gather each row's pages into a virtually-contiguous context;
+            # unallocated (-1 -> clamped) pages read garbage that the causal
+            # mask excludes (those positions are past the slot's length)
+            tbl = page_table if rows is None else page_table[rows]
+            safe = jnp.maximum(tbl, 0)
+            n, P = safe.shape
+            psz = kc.shape[1]
+            kg = kc[safe].reshape(n, P * psz, *kc.shape[2:])
+            vg = vc[safe].reshape(n, P * psz, *vc.shape[2:])
+            return kg, vg
         if rows is not None:
             kc, vc = kc[rows], vc[rows]
         if ks_all is None:
@@ -468,7 +573,10 @@ def _block(
             ksc, vsc = ksc[rows], vsc[rows]
         return _unpack_kv_words(kc, ksc), _unpack_kv_words(vc, vsc)
 
-    S_cap = k_all.shape[2] * (4 if ks_all is not None else 1)
+    if page_table is not None:
+        S_cap = page_table.shape[1] * k_all.shape[2]
+    else:
+        S_cap = k_all.shape[2] * (4 if ks_all is not None else 1)
     if self_attend:
         att = _attention(q, k, v, mask, D ** -0.5)
     elif slot_ids is not None:
@@ -486,7 +594,7 @@ def _block(
         lens_eff = jnp.minimum(positions[:, 0] + 1, S_cap)
         att = decode_attention(
             q[:, 0], k_all, v_all, lens_eff, layer_idx=li,
-            k_scale=ks_all, v_scale=vs_all,
+            k_scale=ks_all, v_scale=vs_all, page_table=page_table,
         )[:, None]
     else:
         att = _attention(q, *ctx(None), mask, D ** -0.5)
@@ -513,12 +621,17 @@ def forward(
     rt: Optional[Runtime] = None,
     slot_ids: Optional[jax.Array] = None,  # int32 [B] cache slots for x's rows
     self_attend: bool = False,
+    kv_unaligned: bool = False,
 ) -> Tuple[jax.Array, KVCache]:
     """Run T tokens per slot through the model (T=1 -> decode; T>1 -> prefill).
 
     Assumes cache slots were written for positions < lengths; attends to cached
     positions plus causally to the new tokens.  Positions >= S mark padding /
     inactive tokens: they write nothing to the cache and advance no lengths.
+
+    ``kv_unaligned``: this T > 1 call's positions may start off a 4-position
+    word boundary (speculative verify) — a packed int8 cache then writes
+    per-position bytes instead of whole words.
     """
     rt = rt or Runtime()
     B, T = tokens.shape
@@ -537,11 +650,13 @@ def forward(
 
     layers = params["layers"]
     kv = (cache.k, cache.v, cache.k_scale, cache.v_scale)
+    page_table = cache.page_table
     if isinstance(layers, (list, tuple)):
         for li, layer in enumerate(layers):
             x, kv = _block(
                 layer, cfg, rt, x, positions, kv, li, mask,
                 slot_ids=slot_ids, self_attend=self_attend,
+                kv_unaligned=kv_unaligned, page_table=page_table,
             )
     else:
         # stacked layers (see stack_layers): one compiled block, scanned —
@@ -563,6 +678,7 @@ def forward(
             x, kv = _block(
                 layer, cfg, rt, x, positions, kv, li, mask,
                 slot_ids=slot_ids, self_attend=self_attend,
+                kv_unaligned=kv_unaligned, page_table=page_table,
             )
             return (x, kv), None
 
@@ -578,7 +694,7 @@ def forward(
     new_cache = KVCache(
         k=new_k, v=new_v,
         lengths=cache.lengths.at[rows].max(jnp.max(valid_next, axis=1)),
-        k_scale=new_ks, v_scale=new_vs,
+        k_scale=new_ks, v_scale=new_vs, page_table=page_table,
     )
     return logits, new_cache
 
@@ -612,6 +728,47 @@ def decode_step(params, cfg, tokens, cache, rt=None, active=None):
         positions = jnp.where(active[:, None], positions, cache.S)
     logits, cache = forward(params, cfg, tokens[:, None], cache, positions, rt)
     return logits[:, -1, :], cache
+
+
+def spec_verify_step(params, cfg, tokens, cache, rt=None, active=None):
+    """Speculative-decoding verify: run ``tokens[:, 0]`` (each slot's current
+    token) plus ``gamma = T-1`` drafted tokens through ONE forward, accept the
+    longest prefix the model agrees with (greedy), and roll the cache back to
+    the accepted length.
+
+    Decode is weight-bound (the whole packed model streams per step
+    regardless of T), so verifying gamma+1 tokens costs ~one decode step;
+    every accepted draft token is nearly free throughput.  No reference
+    counterpart — serving-layer feature.
+
+    Returns ``(greedy [B, T], accepted [B], cache)``: slot b emitted
+    ``tokens[b, 1 : 1+accepted[b]]`` (the accepted drafts) followed by
+    ``greedy[b, accepted[b]]`` (the model's own next token) — i.e.
+    ``accepted[b] + 1`` tokens.  Stale cache entries past the rollback are
+    overwritten by later writes and masked by lengths meanwhile.
+    """
+    B, T = tokens.shape
+    S = cache.S
+    old_lens = cache.lengths
+    positions = old_lens[:, None] + jnp.arange(T)[None]
+    if active is not None:
+        positions = jnp.where(active[:, None], positions, S)
+    positions = jnp.minimum(positions, S)  # past-capacity drafts are inert
+    logits, cache = forward(
+        params, cfg, tokens, cache, positions, rt, kv_unaligned=True
+    )
+    greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    # accepted prefix: drafts tokens[:, 1:] vs the model's greedy continuation
+    match = (greedy[:, :-1] == tokens[:, 1:]).astype(jnp.int32)
+    accepted = jnp.sum(jnp.cumprod(match, axis=1), axis=1)  # [B] in [0, T-1]
+    # cap emissions at remaining capacity, then roll lengths back to the
+    # accepted point (forward advanced them by up to T)
+    emit = jnp.minimum(accepted + 1, jnp.maximum(S - old_lens, 0))
+    new_lens = old_lens + emit
+    if active is not None:
+        new_lens = jnp.where(active, new_lens, old_lens)
+    cache = dataclasses.replace(cache, lengths=new_lens.astype(jnp.int32))
+    return greedy, accepted, cache
 
 
 def prefill_slot(params, cfg, tokens, true_len, slot, cache, rt=None):

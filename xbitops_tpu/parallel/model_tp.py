@@ -68,15 +68,30 @@ def param_pspecs(params: dict, axis: str = "model") -> dict:
     )
 
 
-def cache_pspecs(axis: str = "model", data_axis=None, quantized: bool = False) -> llama.KVCache:
+def cache_pspecs(
+    axis: str = "model", data_axis=None, quantized: bool = False,
+    paged: bool = False,
+) -> llama.KVCache:
     # packed int8 cache scales are [L, B, S/4, 4, n_kv] — kv heads last
     sc = P(None, data_axis, None, None, axis) if quantized else None
+    if paged:
+        # pool [L, n_pages, page_size, n_kv, D]: kv heads sharded, pages and
+        # in-page rows replicated-local; page tables are tiny, replicated
+        return llama.KVCache(
+            k=P(None, None, None, axis, None),
+            v=P(None, None, None, axis, None),
+            lengths=P(data_axis),
+            k_scale=None,
+            v_scale=None,
+            page_table=P(data_axis, None),
+        )
     return llama.KVCache(
         k=P(None, data_axis, None, axis, None),
         v=P(None, data_axis, None, axis, None),
         lengths=P(data_axis),
         k_scale=sc,
         v_scale=sc,
+        page_table=None,
     )
 
 
@@ -88,7 +103,7 @@ def shard_params(params: dict, mesh: Mesh, axis: str = "model") -> dict:
 
 
 def shard_cache(cache: llama.KVCache, mesh: Mesh, axis: str = "model") -> llama.KVCache:
-    specs = cache_pspecs(axis, quantized=cache.quantized)
+    specs = cache_pspecs(axis, quantized=cache.quantized, paged=cache.paged)
     return jax.tree.map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), cache, specs
     )
@@ -120,10 +135,10 @@ def tp_forward(
         in_specs=(
             param_pspecs(params, axis),
             P(da, None),
-            cache_pspecs(axis, da, cache.quantized),
+            cache_pspecs(axis, da, cache.quantized, cache.paged),
             P(da, None),
         ),
-        out_specs=(P(da, None, None), cache_pspecs(axis, da, cache.quantized)),
+        out_specs=(P(da, None, None), cache_pspecs(axis, da, cache.quantized, cache.paged)),
         check_vma=False,
     )
     def f(params_l, tokens_l, cache_l, positions_l):
@@ -144,6 +159,35 @@ def tp_decode_step(
     return logits[:, -1, :], cache
 
 
+def tp_spec_verify_step(
+    params, cfg, mesh, tokens, cache, axis: str = "model", active=None
+):
+    """Sharded :func:`~xbitops_tpu.models.llama.spec_verify_step` — the
+    accept/rollback logic runs replicated per shard (deterministic), only the
+    forward is sharded."""
+    tp = mesh.shape[axis]
+    local_cfg = cfg.local(tp)
+    rt = llama.TPRuntime(axis)
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(param_pspecs(params, axis), P(None, None), P(None),
+                  cache_pspecs(axis, quantized=cache.quantized, paged=cache.paged)),
+        out_specs=(P(None, None), P(None),
+                   cache_pspecs(axis, quantized=cache.quantized, paged=cache.paged)),
+        check_vma=False,
+    )
+    def f(params_l, tokens_l, active_l, cache_l):
+        return llama.spec_verify_step(
+            params_l, local_cfg, tokens_l, cache_l, rt, active=active_l
+        )
+
+    if active is None:
+        active = jnp.ones((tokens.shape[0],), bool)
+    return f(params, tokens, jnp.asarray(active), cache)
+
+
 def tp_prefill_slot_chunk(
     params, cfg, mesh, tokens, start, true_len, slot, cache, axis: str = "model",
     reset=False,
@@ -158,9 +202,9 @@ def tp_prefill_slot_chunk(
         mesh=mesh,
         in_specs=(
             param_pspecs(params, axis), P(None), P(), P(), P(), P(),
-            cache_pspecs(axis, quantized=cache.quantized),
+            cache_pspecs(axis, quantized=cache.quantized, paged=cache.paged),
         ),
-        out_specs=(P(None), cache_pspecs(axis, quantized=cache.quantized)),
+        out_specs=(P(None), cache_pspecs(axis, quantized=cache.quantized, paged=cache.paged)),
         check_vma=False,
     )
     def f(params_l, tokens_l, start_l, true_len_l, slot_l, reset_l, cache_l):
@@ -190,8 +234,8 @@ def tp_prefill_slots_chunk(
         mesh=mesh,
         in_specs=(param_pspecs(params, axis), P(None, None), P(None), P(None),
                   P(None), P(None),
-                  cache_pspecs(axis, quantized=cache.quantized)),
-        out_specs=(P(None, None), cache_pspecs(axis, quantized=cache.quantized)),
+                  cache_pspecs(axis, quantized=cache.quantized, paged=cache.paged)),
+        out_specs=(P(None, None), cache_pspecs(axis, quantized=cache.quantized, paged=cache.paged)),
         check_vma=False,
     )
     def f(params_l, tokens_l, starts_l, lens_l, slots_l, resets_l, cache_l):
@@ -222,8 +266,8 @@ def tp_prefill_slots(
         shard_map,
         mesh=mesh,
         in_specs=(param_pspecs(params, axis), P(None, None), P(None), P(None),
-                  cache_pspecs(axis, quantized=cache.quantized)),
-        out_specs=(P(None, None), cache_pspecs(axis, quantized=cache.quantized)),
+                  cache_pspecs(axis, quantized=cache.quantized, paged=cache.paged)),
+        out_specs=(P(None, None), cache_pspecs(axis, quantized=cache.quantized, paged=cache.paged)),
         check_vma=False,
     )
     def f(params_l, tokens_l, lens_l, slots_l, cache_l):
@@ -247,8 +291,8 @@ def tp_prefill_slot(
         shard_map,
         mesh=mesh,
         in_specs=(param_pspecs(params, axis), P(None), P(), P(),
-                  cache_pspecs(axis, quantized=cache.quantized)),
-        out_specs=(P(None), cache_pspecs(axis, quantized=cache.quantized)),
+                  cache_pspecs(axis, quantized=cache.quantized, paged=cache.paged)),
+        out_specs=(P(None), cache_pspecs(axis, quantized=cache.quantized, paged=cache.paged)),
         check_vma=False,
     )
     def f(params_l, tokens_l, true_len_l, slot_l, cache_l):
