@@ -19,6 +19,7 @@ import dataclasses
 import json
 import sys
 import time
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -38,6 +39,10 @@ def log(msg: str) -> None:
 
 
 def make_decode_runner(cfg):
+    # NOTE: the final cache is returned and the input donated so the loop
+    # carry can alias in place at large S (an un-returned cache doubles HBM);
+    # measured at B=32/SEQ=128 the returned-output variant costs ~3.6 ms/step
+    # extra (carry copy), so the bench keeps SEQ small and discards the cache.
     @jax.jit
     def run(params, tokens, cache, n):
         def body(i, carry):
@@ -51,10 +56,11 @@ def make_decode_runner(cfg):
     return run
 
 
-def time_decode_step(params, cfg, label: str, repeats: int = 3, batch=None) -> float:
+def time_decode_step(params, cfg, label: str, repeats: int = 3, batch=None,
+                     kv_quant: bool = False) -> float:
     """Seconds per decode step, dispatch overhead differenced out."""
     nb = batch or B
-    cache = llama.KVCache.init(cfg, nb)
+    state = {"cache": llama.KVCache.init(cfg, nb, quantized=kv_quant)}
     tokens = jnp.zeros((nb,), jnp.int32)
     run = make_decode_runner(cfg)
 
@@ -62,12 +68,12 @@ def time_decode_step(params, cfg, label: str, repeats: int = 3, batch=None) -> f
         best = float("inf")
         for _ in range(reps):
             t0 = time.perf_counter()
-            float(run(params, tokens, cache, jnp.int32(n)))
+            float(run(params, tokens, state["cache"], jnp.int32(n)))
             best = min(best, time.perf_counter() - t0)
         return best
 
     t0 = time.perf_counter()
-    float(run(params, tokens, cache, jnp.int32(2)))  # compile + warm
+    float(run(params, tokens, state["cache"], jnp.int32(2)))  # compile + warm
     log(f"[{label}] compile+warm {time.perf_counter() - t0:.1f}s")
     n = 4
     t = timed(n, 1)

@@ -289,3 +289,73 @@ def test_engine_paged_pool_too_small(params):
                  paged=True, page_size=16, pool_pages=2)
     with pytest.raises(RuntimeError, match="pool too small"):
         eng.generate([Request(prompt=list(range(1, 50)), max_new_tokens=2)])
+
+
+def test_engine_pipelined_matches(params):
+    """pipeline=True (one burst in flight, device-resident continuation
+    tokens) emits exactly the synchronous stream, including eos mid-burst
+    and slot refills during the pipelined window."""
+    eos_probe = Engine(params, CFG, slots=1).generate(
+        [Request(prompt=[5, 9, 2], max_new_tokens=3)]
+    )[0].tokens[1]
+    reqs = lambda: [
+        Request(prompt=PROMPTS[0], max_new_tokens=8, eos_id=eos_probe),
+        Request(prompt=PROMPTS[1], max_new_tokens=5),
+        Request(prompt=PROMPTS[2], max_new_tokens=7),
+        Request(prompt=PROMPTS[3], max_new_tokens=4),
+    ]
+    sync = Engine(params, CFG, slots=2, prefill_buckets=[4, 8]).generate(reqs())
+    pipe = Engine(params, CFG, slots=2, prefill_buckets=[4, 8],
+                  pipeline=True).generate(reqs())
+    assert [c.tokens for c in sync] == [c.tokens for c in pipe]
+    assert [c.finish_reason for c in sync] == [c.finish_reason for c in pipe]
+    burst = Engine(params, CFG, slots=2, prefill_buckets=[4, 8],
+                   pipeline=True, decode_burst=3).generate(reqs())
+    assert [c.tokens for c in sync] == [c.tokens for c in burst]
+
+
+def test_engine_pipelined_paged(params):
+    reqs = lambda: [Request(prompt=p, max_new_tokens=6) for p in PROMPTS[:4]]
+    sync = Engine(params, CFG, slots=2, prefill_buckets=[4, 8]).generate(reqs())
+    pp = Engine(params, CFG, slots=2, prefill_buckets=[4, 8], pipeline=True,
+                paged=True, page_size=16, pool_pages=6).generate(reqs())
+    assert [c.tokens for c in sync] == [c.tokens for c in pp]
+
+
+def test_engine_failure_recovery(params):
+    """A device fault mid-generation (injected) restarts the engine: cache
+    rebuilt, in-flight requests requeued as prompt + emitted-so-far, final
+    greedy streams identical to a fault-free run."""
+    import jax as _jax
+
+    reqs = lambda: [Request(prompt=p, max_new_tokens=8) for p in PROMPTS[:3]]
+    clean = Engine(params, CFG, slots=2, prefill_buckets=[4, 8]).generate(reqs())
+
+    eng = Engine(params, CFG, slots=2, prefill_buckets=[4, 8], max_restarts=2)
+    state = {"count": 0}
+
+    def fault_once():
+        state["count"] += 1
+        if state["count"] == 3:  # fail on the 3rd decode dispatch
+            raise _jax.errors.JaxRuntimeError("injected device fault")
+
+    eng._fault_hook = fault_once
+    recovered = eng.generate(reqs())
+    assert eng.restarts == 1
+    assert [c.tokens for c in clean] == [c.tokens for c in recovered], (
+        [c.tokens for c in clean], [c.tokens for c in recovered]
+    )
+    assert [c.prompt_len for c in clean] == [c.prompt_len for c in recovered]
+
+    # without max_restarts the fault propagates
+    eng2 = Engine(params, CFG, slots=2, prefill_buckets=[4, 8])
+    state2 = {"count": 0}
+
+    def fault2():
+        state2["count"] += 1
+        if state2["count"] == 2:
+            raise _jax.errors.JaxRuntimeError("injected device fault")
+
+    eng2._fault_hook = fault2
+    with pytest.raises(_jax.errors.JaxRuntimeError):
+        eng2.generate(reqs())

@@ -155,6 +155,45 @@ void xbit_gemv_f16(const uint16_t* a_f16, const uint32_t* qweight,
   }
 }
 
+// Fused dequant + GEMM with fp16 ACCUMULATION chains — the reference's
+// SHIPPED kernel semantics (gemv_w4a16_pt.cu:115-124): the weight
+// dequantizes through a half-precision fma (__hfma2(wq, s, -sz) -> fp16
+// rounding), products accumulate through half-precision fma chains of 8
+// (__hfma2(a, w, acc)), and chain results accumulate in fp32
+// (gemv_w4a16_pt.cu:123-124).  This is the comparator for the reference's
+// fp16-accum tolerance gate (rel 1.001 AND abs 4e-4, gemv_w4a16.cu:406-407).
+void xbit_gemv_f16acc(const uint16_t* a_f16, const uint32_t* qweight,
+                      const uint16_t* scales_f16, const uint32_t* qzeros,
+                      const int32_t* g_idx, int64_t M, int64_t K, int64_t N,
+                      int bits, int group_size, int add_zero_bias,
+                      uint16_t* out_f16) {
+  int64_t zstride = (N * bits + 31) / 32;
+  for (int64_t m = 0; m < M; ++m) {
+    for (int64_t n = 0; n < N; ++n) {
+      float acc32 = 0.0f;
+      for (int64_t k0 = 0; k0 < K; k0 += 8) {
+        uint16_t acc16 = 0;  // fp16 accumulator for one 8-product chain
+        int64_t kend = k0 + 8 < K ? k0 + 8 : K;
+        for (int64_t k = k0; k < kend; ++k) {
+          int64_t g = g_idx ? (int64_t)g_idx[k] : k / group_size;
+          uint32_t wq = extract_bits(qweight, N, n, k, bits);
+          uint32_t zq = extract_bits(qzeros + g * zstride, 1, 0, n, bits);
+          float s = half_bits_to_float(scales_f16[g * N + n]);
+          float sz = round_f16(s * (float)(zq + (uint32_t)add_zero_bias));
+          // __hfma2(wq, s, -sz): fused in-register, one fp16 rounding
+          float w = round_f16((float)wq * s - sz);
+          // __hfma2(a, w, acc): fused product+add, one fp16 rounding
+          float fma = half_bits_to_float(a_f16[m * K + k]) * w +
+                      half_bits_to_float(acc16);
+          acc16 = float_to_half_bits(fma);
+        }
+        acc32 += half_bits_to_float(acc16);
+      }
+      out_f16[m * N + n] = float_to_half_bits(acc32);
+    }
+  }
+}
+
 // Pack integer values (< 2^bits) into GPTQ words along the leading axis.
 // vals: uint8[K * N] -> qweight: int32[ceil(K*bits/32) * N].  (Tooling parity
 // check for formats.gptq_pack.)

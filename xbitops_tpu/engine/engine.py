@@ -81,6 +81,8 @@ class Engine:
         paged: bool = False,
         pool_pages: Optional[int] = None,
         page_size: int = 256,
+        pipeline: bool = False,
+        max_restarts: int = 0,
     ):
         """``decode_burst`` chains that many decode steps in one device
         dispatch (a ``lax.scan``): host<->device round-trip latency amortizes
@@ -101,13 +103,34 @@ class Engine:
         reads pages through scalar-prefetch index maps — no gathers on the
         hot path.
 
+        ``pipeline=True`` keeps one decode burst IN FLIGHT: the next burst
+        dispatches with device-resident tokens before the previous burst's
+        results reach the host, so host bookkeeping and dispatch latency
+        overlap device compute (continuation tokens never round-trip).
+        Bookkeeping trails one burst — a finished slot decodes one extra
+        (discarded) burst, and admissions see slot state one burst late —
+        but emitted tokens are identical.  Pays on high-latency links with
+        SMALL bursts (the hidden latency must outweigh the wasted stale
+        burst: measured on the remote-tunnel v5e, burst=32 LOSES ~20% to
+        stale-burst waste while small bursts gain); exclusive with
+        ``spec_tokens``.
+
         ``spec_tokens`` (gamma > 0) enables speculative decoding: each step
         drafts gamma tokens per slot by n-gram lookup in the slot's own
         history and verifies them in ONE forward (decode is weight-bound, so
         the extra tokens are nearly free) — accepted drafts multiply
         tokens/step on repetitive continuations at zero quality loss.
         Greedy-only (all requests must have temperature <= 0); mutually
-        exclusive with ``decode_burst > 1``."""
+        exclusive with ``decode_burst > 1``.
+
+        ``max_restarts`` > 0 enables failure recovery: a device error during
+        a dispatch (preemption, interconnect fault — surfaced by JAX as
+        ``JaxRuntimeError``) rebuilds the KV cache from scratch and REQUEUES
+        every in-flight request as prompt + tokens-emitted-so-far, resuming
+        where it stopped (weights are host-reloadable params, the cache is
+        reconstructable state).  Already-emitted tokens are kept; greedy
+        requests resume bit-identically, sampled ones re-draw randomness
+        from the resume point."""
         self.cfg = cfg
         self.slots = slots
         self.mesh = mesh
@@ -125,8 +148,15 @@ class Engine:
                 raise ValueError("kv_quant requires prefill_chunk % 4 == 0")
         self.decode_burst = max(1, decode_burst)
         self.spec_tokens = max(0, spec_tokens)
+        self.pipeline = bool(pipeline)
         if self.spec_tokens and self.decode_burst > 1:
             raise ValueError("spec_tokens and decode_burst > 1 are exclusive")
+        if self.spec_tokens and self.pipeline:
+            raise ValueError("spec_tokens and pipeline are exclusive")
+        self.max_restarts = max(0, max_restarts)
+        self.restarts = 0
+        self._fault_hook = None  # tests inject dispatch-time device faults
+        self._cache_factory = None  # set below once cache config is known
         self._key = jax.random.PRNGKey(seed)
         self._next_id = 0
         self.spec_stats = {"drafted": 0, "accepted": 0}
@@ -151,6 +181,28 @@ class Engine:
             pass
 
         self.paged = paged
+
+        def make_cache():
+            if paged:
+                n_pages = pool_pages or slots * (cfg.max_seq_len // page_size)
+                c = llama.KVCache.init_paged(
+                    cfg, slots, n_pages, page_size, dtype=cache_dtype
+                )
+                self._free_pages = list(range(n_pages))
+                self._slot_pages = [[] for _ in range(slots)]
+                self._table = np.full(
+                    (slots, cfg.max_seq_len // page_size), -1, np.int32
+                )
+            else:
+                c = llama.KVCache.init(
+                    cfg, slots, dtype=cache_dtype, quantized=kv_quant
+                )
+            if mesh is not None:
+                from xbitops_tpu.parallel import model_tp
+
+                c = model_tp.shard_cache(c, mesh, axis)
+            return c
+
         if paged:
             if kv_quant:
                 raise NotImplementedError("paged + int8 KV cache")
@@ -159,22 +211,13 @@ class Engine:
             if cfg.max_seq_len % page_size:
                 raise ValueError("max_seq_len must be a multiple of page_size")
             self.page_size = page_size
-            n_pages = pool_pages or slots * (cfg.max_seq_len // page_size)
-            cache = llama.KVCache.init_paged(
-                cfg, slots, n_pages, page_size, dtype=cache_dtype
-            )
-            self._free_pages = list(range(n_pages))
-            self._slot_pages: List[List[int]] = [[] for _ in range(slots)]
-            self._table = np.full((slots, cfg.max_seq_len // page_size), -1, np.int32)
-        else:
-            cache = llama.KVCache.init(cfg, slots, dtype=cache_dtype, quantized=kv_quant)
         if mesh is not None:
             from xbitops_tpu.parallel import model_tp
 
             params = model_tp.shard_params(params, mesh, axis)
-            cache = model_tp.shard_cache(cache, mesh, axis)
+        self._cache_factory = make_cache
         self.params = params
-        self.cache = cache
+        self.cache = make_cache()
         self._build_step_fns(top_k, top_p)
 
     # --- jitted step functions ---
@@ -392,6 +435,11 @@ class Engine:
         cur_tok = np.zeros(self.slots, np.int32)
         temps = np.zeros(self.slots, np.float32)
         active = np.zeros(self.slots, bool)
+        # pipelined decode: the burst whose results haven't reached the host
+        # yet, plus per-slot admission epochs so a recycled slot never
+        # swallows its previous occupant's in-flight tokens
+        slot_epoch = np.zeros(self.slots, np.int64)
+        inflight: Optional[dict] = None
         done: List[Completion] = []
 
         def finish(b: int, reason: str):
@@ -419,164 +467,278 @@ class Engine:
             else:
                 cur_tok[b] = tok
 
-        while pending or active.any():
-            # admit new requests into free slots.  Short prompts batch into
-            # ONE prefill dispatch (padded rows are inert); long prompts
-            # batch too — all of them advance one chunk per dispatch, in
-            # lockstep, through the same compiled program.
-            admit, longs = [], []
-            for b in range(self.slots):
-                if not active[b] and pending:
-                    # paged: a request admits only if the pool can back its
-                    # whole prompt; otherwise it waits for running slots to
-                    # finish and free pages
-                    if self.paged and not self._pages_for(
-                        b, len(pending[0].prompt) + 1
-                    ):
-                        break
-                    r = pending.popleft()
-                    prompt = list(r.prompt)
-                    if len(prompt) <= self.buckets[-1]:
-                        admit.append((b, r, prompt))
-                    else:
-                        longs.append((b, r, prompt))
-            if (
-                self.paged and pending and not (admit or longs)
-                and not active.any()
-            ):
-                need = -(-(len(pending[0].prompt) + 1) // self.page_size)
-                raise RuntimeError(
-                    f"paged KV pool too small: request needs {need} pages, "
-                    f"pool has {len(self._free_pages)} free and nothing "
-                    f"running to release more"
-                )
-            if self.paged and (admit or longs):
-                self._push_table()
+        def drain(burst=None):
+            """Process a burst's tokens (blocks until it's done on device —
+            with pipelining the NEXT burst is already running by then)."""
+            nonlocal inflight
+            if burst is None:
+                burst, inflight = inflight, None
+            if burst is None:
+                return
+            toks = np.asarray(jax.device_get(burst["toks"]))
+            sa, epochs = burst["step_active"], burst["epochs"]
+            for step in range(toks.shape[0]):
+                for b in range(self.slots):
+                    if sa[b] and active[b] and slot_epoch[b] == epochs[b]:
+                        accept(b, int(toks[step, b]))
 
-            if longs:
-                C = self.prefill_chunk
-                n = self.slots  # fixed row count: one compiled program
-                n_chunks = -(-max(len(p) for _, _, p in longs) // C)
-                last_tok = {}
-                for ci in range(n_chunks):
-                    toks = np.zeros((n, C), np.int32)
-                    starts = np.zeros(n, np.int32)
-                    lens = np.zeros(n, np.int32)
-                    slots_arr = np.full(n, self.slots, np.int32)  # OOB = inert
-                    row_temps = np.zeros(n, np.float32)
-                    resets = np.zeros(n, bool)
+        in_admission: List[Request] = []
+        resume_prefix: dict = {}  # id -> tokens emitted before a restart
+        orig_plen: dict = {}  # id -> original prompt length
+
+        def run_loop():
+            nonlocal inflight
+            while pending or active.any() or inflight is not None:
+                # admit new requests into free slots.  Short prompts batch into
+                # ONE prefill dispatch (padded rows are inert); long prompts
+                # batch too — all of them advance one chunk per dispatch, in
+                # lockstep, through the same compiled program.
+                admit, longs = [], []
+                for b in range(self.slots):
+                    if not active[b] and pending:
+                        # paged: a request admits only if the pool can back its
+                        # whole prompt; otherwise it waits for running slots to
+                        # finish and free pages
+                        if self.paged and not self._pages_for(
+                            b, len(pending[0].prompt) + 1
+                        ):
+                            break
+                        r = pending.popleft()
+                        prompt = list(r.prompt)
+                        if len(prompt) <= self.buckets[-1]:
+                            admit.append((b, r, prompt))
+                        else:
+                            longs.append((b, r, prompt))
+                if (
+                    self.paged and pending and not (admit or longs)
+                    and not active.any()
+                ):
+                    need = -(-(len(pending[0].prompt) + 1) // self.page_size)
+                    raise RuntimeError(
+                        f"paged KV pool too small: request needs {need} pages, "
+                        f"pool has {len(self._free_pages)} free and nothing "
+                        f"running to release more"
+                    )
+                if self.paged and (admit or longs):
+                    self._push_table()
+
+                if longs:
+                    C = self.prefill_chunk
+                    n = self.slots  # fixed row count: one compiled program
+                    n_chunks = -(-max(len(p) for _, _, p in longs) // C)
+                    last_tok = {}
+                    for ci in range(n_chunks):
+                        toks = np.zeros((n, C), np.int32)
+                        starts = np.zeros(n, np.int32)
+                        lens = np.zeros(n, np.int32)
+                        slots_arr = np.full(n, self.slots, np.int32)  # OOB = inert
+                        row_temps = np.zeros(n, np.float32)
+                        resets = np.zeros(n, bool)
+                        for i, (b, r, prompt) in enumerate(longs):
+                            start = ci * C
+                            if start >= len(prompt):
+                                continue  # this prompt is done; row stays inert
+                            piece = prompt[start : start + C]
+                            toks[i, : len(piece)] = piece
+                            starts[i] = start
+                            lens[i] = len(prompt)
+                            slots_arr[i] = b
+                            row_temps[i] = r.temperature
+                            resets[i] = ci == 0
+                        toks_dev, self.cache = self._prefill_chunks_fn(
+                            self.params, self.cache, jnp.asarray(toks),
+                            jnp.asarray(starts), jnp.asarray(lens),
+                            jnp.asarray(slots_arr), jnp.asarray(resets),
+                            self._split_key(), jnp.asarray(row_temps),
+                        )
+                        toks_np = np.asarray(jax.device_get(toks_dev))
+                        for i, (b, r, prompt) in enumerate(longs):
+                            if ci == (len(prompt) - 1) // C:
+                                last_tok[i] = int(toks_np[i])
                     for i, (b, r, prompt) in enumerate(longs):
-                        start = ci * C
-                        if start >= len(prompt):
-                            continue  # this prompt is done; row stays inert
-                        piece = prompt[start : start + C]
-                        toks[i, : len(piece)] = piece
-                        starts[i] = start
+                        self._admit_slot(b, r, prompt, slot_req, slot_gen,
+                                         slot_len, temps, active)
+                        slot_epoch[b] += 1
+                        accept(b, last_tok[i])
+
+                if admit:
+                    n = self.slots  # fixed row count: one compiled program
+                    bucket = self._bucket(max(len(p) for _, _, p in admit))
+                    toks = np.zeros((n, bucket), np.int32)
+                    lens = np.zeros(n, np.int32)
+                    slots_arr = np.full(n, self.slots, np.int32)  # OOB = inert row
+                    row_temps = np.zeros(n, np.float32)
+                    for i, (b, r, prompt) in enumerate(admit):
+                        toks[i, : len(prompt)] = prompt
                         lens[i] = len(prompt)
                         slots_arr[i] = b
                         row_temps[i] = r.temperature
-                        resets[i] = ci == 0
-                    toks_dev, self.cache = self._prefill_chunks_fn(
-                        self.params, self.cache, jnp.asarray(toks),
-                        jnp.asarray(starts), jnp.asarray(lens),
-                        jnp.asarray(slots_arr), jnp.asarray(resets),
-                        self._split_key(), jnp.asarray(row_temps),
+                    toks_dev, self.cache = self._prefill_fn(
+                        self.params, self.cache, jnp.asarray(toks), jnp.asarray(lens),
+                        jnp.asarray(slots_arr), self._split_key(), jnp.asarray(row_temps),
                     )
                     toks_np = np.asarray(jax.device_get(toks_dev))
-                    for i, (b, r, prompt) in enumerate(longs):
-                        if ci == (len(prompt) - 1) // C:
-                            last_tok[i] = int(toks_np[i])
-                for i, (b, r, prompt) in enumerate(longs):
-                    self._admit_slot(b, r, prompt, slot_req, slot_gen,
-                                     slot_len, temps, active)
-                    accept(b, last_tok[i])
+                    for i, (b, r, prompt) in enumerate(admit):
+                        self._admit_slot(b, r, prompt, slot_req, slot_gen,
+                                         slot_len, temps, active)
+                        slot_epoch[b] += 1
+                        accept(b, int(toks_np[i]))
 
-            if admit:
-                n = self.slots  # fixed row count: one compiled program
-                bucket = self._bucket(max(len(p) for _, _, p in admit))
-                toks = np.zeros((n, bucket), np.int32)
-                lens = np.zeros(n, np.int32)
-                slots_arr = np.full(n, self.slots, np.int32)  # OOB = inert row
-                row_temps = np.zeros(n, np.float32)
-                for i, (b, r, prompt) in enumerate(admit):
-                    toks[i, : len(prompt)] = prompt
-                    lens[i] = len(prompt)
-                    slots_arr[i] = b
-                    row_temps[i] = r.temperature
-                toks_dev, self.cache = self._prefill_fn(
-                    self.params, self.cache, jnp.asarray(toks), jnp.asarray(lens),
-                    jnp.asarray(slots_arr), self._split_key(), jnp.asarray(row_temps),
-                )
-                toks_np = np.asarray(jax.device_get(toks_dev))
-                for i, (b, r, prompt) in enumerate(admit):
-                    self._admit_slot(b, r, prompt, slot_req, slot_gen,
-                                     slot_len, temps, active)
-                    accept(b, int(toks_np[i]))
+                in_admission.clear()
 
-            if not active.any():
-                continue
-
-            # paged: slots about to write need their next page(s); slots the
-            # pool can't serve this step sit out and resume when pages free
-            steps = (self.spec_tokens + 1) if self.spec_tokens else self.decode_burst
-            step_active = active.copy()
-            if self.paged:
-                for b in range(self.slots):
-                    if active[b] and not self._pages_for(
-                        b, min(int(slot_len[b]) + steps, S)
-                    ):
-                        step_active[b] = False
-                if not step_active.any():
-                    raise RuntimeError(
-                        "paged KV pool exhausted: every active slot is blocked"
-                    )
-                self._push_table()
-
-            if self.spec_tokens:
-                gamma = self.spec_tokens
-                toks = np.zeros((self.slots, gamma + 1), np.int32)
-                for b in range(self.slots):
-                    if step_active[b]:
-                        hist = list(slot_req[b].prompt) + slot_gen[b]
-                        toks[b, 0] = cur_tok[b]
-                        toks[b, 1:] = self._draft(hist, gamma)
-                greedy, accepted, self.cache = self._spec_fn(
-                    self.params, self.cache, jnp.asarray(toks),
-                    jnp.asarray(step_active)
-                )
-                g = np.asarray(jax.device_get(greedy))
-                acc = np.asarray(jax.device_get(accepted))
-                for b in range(self.slots):
-                    if not step_active[b]:
-                        continue
-                    a = int(acc[b])
-                    self.spec_stats["drafted"] += gamma
-                    self.spec_stats["accepted"] += a
-                    emitted = list(toks[b, 1 : 1 + a]) + [int(g[b, a])]
-                    # device capped cache writes at capacity — mirror it
-                    emitted = emitted[: max(0, S - int(slot_len[b]))]
-                    for tok in emitted:
-                        if active[b]:
-                            accept(b, int(tok))
-                continue
-
-            decode = self._decode_fn
-            if self._decode_dispatch:
-                # live-length dispatch: below ~256 positions XLA's one-shot
-                # attention beats the blocked kernel's per-program overhead
-                live_max = int(slot_len[active].max()) + self.decode_burst
-                if live_max <= 256:
-                    decode = self._decode_fn_short
-            toks_dev, self.cache = decode(
-                self.params, self.cache, jnp.asarray(cur_tok),
-                jnp.asarray(step_active), self._split_key(), jnp.asarray(temps),
-            )
-            toks = np.asarray(jax.device_get(toks_dev))  # [burst, B]
-            for step in range(toks.shape[0]):
-                for b in range(self.slots):
-                    if step_active[b] and active[b]:
-                        accept(b, int(toks[step, b]))
                 if not active.any():
-                    break  # rest of the burst is garbage for every slot
+                    drain()
+                    continue
 
+                if self._fault_hook is not None:
+                    self._fault_hook()  # tests inject device faults here
+                # paged: slots about to write need their next page(s); slots
+                # the pool can't serve this step sit out, resuming when free
+                steps = (self.spec_tokens + 1) if self.spec_tokens else self.decode_burst
+                if self.pipeline:
+                    # slot_len lags the in-flight burst — cover both bursts
+                    steps *= 2
+                step_active = active.copy()
+                if self.paged:
+                    for b in range(self.slots):
+                        if active[b] and not self._pages_for(
+                            b, min(int(slot_len[b]) + steps, S)
+                        ):
+                            step_active[b] = False
+                    if not step_active.any():
+                        raise RuntimeError(
+                            "paged KV pool exhausted: every active slot is blocked"
+                        )
+                    self._push_table()
+
+                if self.spec_tokens:
+                    gamma = self.spec_tokens
+                    toks = np.zeros((self.slots, gamma + 1), np.int32)
+                    for b in range(self.slots):
+                        if step_active[b]:
+                            hist = list(slot_req[b].prompt) + slot_gen[b]
+                            toks[b, 0] = cur_tok[b]
+                            toks[b, 1:] = self._draft(hist, gamma)
+                    greedy, accepted, self.cache = self._spec_fn(
+                        self.params, self.cache, jnp.asarray(toks),
+                        jnp.asarray(step_active)
+                    )
+                    g = np.asarray(jax.device_get(greedy))
+                    acc = np.asarray(jax.device_get(accepted))
+                    for b in range(self.slots):
+                        if not step_active[b]:
+                            continue
+                        a = int(acc[b])
+                        self.spec_stats["drafted"] += gamma
+                        self.spec_stats["accepted"] += a
+                        emitted = list(toks[b, 1 : 1 + a]) + [int(g[b, a])]
+                        # device capped cache writes at capacity — mirror it
+                        emitted = emitted[: max(0, S - int(slot_len[b]))]
+                        for tok in emitted:
+                            if active[b]:
+                                accept(b, int(tok))
+                    continue
+
+                decode = self._decode_fn
+                if self._decode_dispatch:
+                    # live-length dispatch: below ~256 positions XLA's one-shot
+                    # attention beats the blocked kernel's per-program overhead
+                    live_max = int(slot_len[active].max()) + self.decode_burst
+                    if live_max <= 256:
+                        decode = self._decode_fn_short
+                if self.pipeline:
+                    # dispatch the next burst with device-resident tokens BEFORE
+                    # reading the in-flight one: continuing slots chain through
+                    # the previous burst's last device token (no host round-trip)
+                    if inflight is not None:
+                        # chain only slots still owned by the occupant the burst
+                        # was dispatched for — a slot recycled meanwhile takes its
+                        # fresh prefill token from the host instead
+                        cont = jnp.asarray(
+                            inflight["step_active"]
+                            & (slot_epoch == inflight["epochs"])
+                        )
+                        toks_in = jnp.where(
+                            cont, inflight["toks"][-1], jnp.asarray(cur_tok)
+                        )
+                    else:
+                        toks_in = jnp.asarray(cur_tok)
+                    toks_dev, self.cache = decode(
+                        self.params, self.cache, toks_in,
+                        jnp.asarray(step_active), self._split_key(), jnp.asarray(temps),
+                    )
+                    prev, inflight = inflight, dict(
+                        toks=toks_dev, step_active=step_active.copy(),
+                        epochs=slot_epoch.copy(),
+                    )
+                    if prev is not None:
+                        drain(prev)
+                    continue
+
+                toks_dev, self.cache = decode(
+                    self.params, self.cache, jnp.asarray(cur_tok),
+                    jnp.asarray(step_active), self._split_key(), jnp.asarray(temps),
+                )
+                toks = np.asarray(jax.device_get(toks_dev))  # [burst, B]
+                for step in range(toks.shape[0]):
+                    for b in range(self.slots):
+                        if step_active[b] and active[b]:
+                            accept(b, int(toks[step, b]))
+                    if not active.any():
+                        break  # rest of the burst is garbage for every slot
+
+
+        while True:
+            try:
+                run_loop()
+                break
+            except jax.errors.JaxRuntimeError:
+                if self.restarts >= self.max_restarts:
+                    raise
+                self.restarts += 1
+                inflight = None
+                # requeue in-flight slots (prompt + emitted so far) and
+                # any requests caught mid-admission; rebuild device state
+                for b in range(self.slots):
+                    r = slot_req[b]
+                    if r is None:
+                        continue
+                    orig_plen.setdefault(r.id, len(r.prompt))
+                    resume_prefix[r.id] = resume_prefix.get(r.id, []) + slot_gen[b]
+                    remaining = r.max_new_tokens - len(slot_gen[b])
+                    if remaining <= 0:
+                        done.append(Completion(
+                            r.id, orig_plen[r.id], [], 'length'))
+                    else:
+                        pending.appendleft(dataclasses.replace(
+                            r, prompt=list(r.prompt) + slot_gen[b],
+                            max_new_tokens=remaining))
+                    slot_req[b] = None
+                    slot_gen[b] = []
+                for r in in_admission:
+                    if r not in pending:
+                        pending.appendleft(r)
+                in_admission.clear()
+                active[:] = False
+                slot_len[:] = 0
+                cur_tok[:] = 0
+                temps[:] = 0
+                slot_epoch[:] += 1
+                self.cache = self._cache_factory()
+
+        # merge pre-restart emissions back into resumed completions
+        if resume_prefix:
+            merged = {}
+            for c in done:
+                if c.id in merged:
+                    prev = merged[c.id]
+                    merged[c.id] = Completion(
+                        c.id, prev.prompt_len, prev.tokens + c.tokens,
+                        c.finish_reason)
+                else:
+                    pre = resume_prefix.get(c.id, [])
+                    merged[c.id] = Completion(
+                        c.id, orig_plen.get(c.id, c.prompt_len),
+                        pre + c.tokens, c.finish_reason)
+            done[:] = merged.values()
         return sorted(done, key=lambda c: c.id)

@@ -43,6 +43,7 @@ def _lib() -> ctypes.CDLL:
     i32 = ctypes.c_int
     lib.xbit_dequant_f16.argtypes = [u32p, u16p, u32p, i32p, i64, i64, i32, i32, i32, u16p]
     lib.xbit_gemv_f16.argtypes = [u16p, u32p, u16p, u32p, i32p, i64, i64, i64, i32, i32, i32, u16p]
+    lib.xbit_gemv_f16acc.argtypes = [u16p, u32p, u16p, u32p, i32p, i64, i64, i64, i32, i32, i32, u16p]
     lib.xbit_pack.argtypes = [u8p, i64, i64, i32, u32p]
     lib.xbit_half_to_float.argtypes = [ctypes.c_uint16]
     lib.xbit_half_to_float.restype = ctypes.c_float
@@ -106,6 +107,36 @@ def gemv_f16(
     scales = np.ascontiguousarray(scales_f16.astype(np.float16)).view(np.uint16)
     out = np.empty((M, N), np.uint16)
     _lib().xbit_gemv_f16(
+        _ptr(a, ctypes.c_uint16), _ptr(qweight, ctypes.c_uint32),
+        _ptr(scales, ctypes.c_uint16), _ptr(qzeros, ctypes.c_uint32),
+        _gidx_ptr(g_idx), M, K, N, bits, group_size, add_zero_bias,
+        _ptr(out, ctypes.c_uint16),
+    )
+    return out.view(np.float16)
+
+
+def gemv_f16acc(
+    a_f16: np.ndarray,
+    qweight: np.ndarray,
+    scales_f16: np.ndarray,
+    qzeros: np.ndarray,
+    bits: int,
+    group_size: int,
+    K: int,
+    add_zero_bias: int = 0,
+    g_idx=None,
+) -> np.ndarray:
+    """fp16 GEMM with fp16 ACCUMULATION chains — emulates the reference's
+    shipped ``__hfma2`` kernel (gemv_w4a16_pt.cu:115-124), the comparator for
+    its fp16-accum tolerance gate (rel 1.001 AND abs 4e-4)."""
+    M = a_f16.shape[0]
+    N = scales_f16.shape[1]
+    a = np.ascontiguousarray(a_f16.astype(np.float16)).view(np.uint16)
+    qweight = np.ascontiguousarray(qweight).view(np.uint32)
+    qzeros = np.ascontiguousarray(qzeros).view(np.uint32)
+    scales = np.ascontiguousarray(scales_f16.astype(np.float16)).view(np.uint16)
+    out = np.empty((M, N), np.uint16)
+    _lib().xbit_gemv_f16acc(
         _ptr(a, ctypes.c_uint16), _ptr(qweight, ctypes.c_uint32),
         _ptr(scales, ctypes.c_uint16), _ptr(qzeros, ctypes.c_uint32),
         _gidx_ptr(g_idx), M, K, N, bits, group_size, add_zero_bias,
