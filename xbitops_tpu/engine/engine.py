@@ -118,8 +118,12 @@ class Engine:
         ``spec_tokens`` (gamma > 0) enables speculative decoding: each step
         drafts gamma tokens per slot by n-gram lookup in the slot's own
         history and verifies them in ONE forward (decode is weight-bound, so
-        the extra tokens are nearly free) — accepted drafts multiply
-        tokens/step on repetitive continuations at zero quality loss.
+        the extra tokens ride the same weight stream) — accepted drafts
+        multiply tokens/step on repetitive continuations.  Output matches
+        plain greedy up to bf16 rounding differences between the T=1 and
+        T=gamma+1 compute paths (near-tie argmax flips; bit-identical on
+        equal paths).  `spec_stats` reports drafted/accepted so deployments
+        can check their workload's acceptance before enabling.
         Greedy-only (all requests must have temperature <= 0); mutually
         exclusive with ``decode_burst > 1``.
 

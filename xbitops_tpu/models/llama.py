@@ -737,9 +737,13 @@ def spec_verify_step(params, cfg, tokens, cache, rt=None, active=None):
     the accepted length.
 
     Decode is weight-bound (the whole packed model streams per step
-    regardless of T), so verifying gamma+1 tokens costs ~one decode step;
-    every accepted draft token is nearly free throughput.  No reference
-    counterpart — serving-layer feature.
+    regardless of T), so verifying gamma+1 tokens costs ~one decode step
+    on the weight stream (measured ~1.8x total at 7B: the T>1 forward takes
+    the XLA-attention path); accepted draft tokens amortize it.  Caveat:
+    the T=gamma+1 verify path rounds differently from the T=1 decode path
+    in bf16, so argmax can flip on near-ties — exact in equal-precision
+    arithmetic, bit-identical on the tiny test model, tie-flips possible on
+    near-uniform logits.  No reference counterpart — serving-layer feature.
 
     Returns ``(greedy [B, T], accepted [B], cache)``: slot b emitted
     ``tokens[b, 1 : 1+accepted[b]]`` (the accepted drafts) followed by
