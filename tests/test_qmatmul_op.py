@@ -151,3 +151,17 @@ def test_qmatmul_a8_stacked():
             xb.qmatmul(a, stacked, out_dtype=jnp.float32, a8=True, layer=jnp.int32(li))
         )
         np.testing.assert_allclose(got, ref, rtol=1e-5, atol=3e-4)
+
+
+def test_qmatmul_a8_perchannel_exact():
+    """Per-channel scales (group_size >= K) take the int32-exact a8 fast
+    path (one rescale at the output, no per-group f32 work)."""
+    rng = np.random.default_rng(5)
+    for bits in (4, 8):
+        w = (rng.standard_normal((512, 256)) * 0.05).astype(np.float32)
+        a = (rng.standard_normal((40, 512)) * 0.5).astype(np.float32)
+        qt = xb.quantize_array(jnp.asarray(w), bits, group_size=512)
+        ref = np.asarray(xb.qmatmul(jnp.asarray(a), qt, out_dtype=jnp.float32,
+                                    use_kernel=False, a8=True))
+        got = np.asarray(xb.qmatmul(jnp.asarray(a), qt, out_dtype=jnp.float32, a8=True))
+        np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-4)

@@ -184,6 +184,72 @@ def _kernel_a8(plane_bits, tile_k, gt, cs, stacked, *refs):
         out_ref[...] = acc_ref[...].astype(out_ref.dtype)
 
 
+def _kernel_a8_perchannel(plane_bits, tile_k, cs, stacked, *refs):
+    """W4A8 fast path for PER-CHANNEL scales (one group spanning all of K,
+    i.e. ``groups_per_tile == 1`` and a single scale row shared by every
+    K-tile): the dot outputs accumulate in pure int32 across chunks AND
+    K-tiles, and the f32 rescale happens ONCE at the output write.
+
+    This is what makes the int8 MXU rate actually pay: with g=128 groups the
+    per-chunk f32 rescale of the (M, N) accumulator costs ~3 VPU lane-ops
+    per output per group — as much as the MXU saves (measured ~1.0x).  Here
+    the VPU does only the extraction, so prefill approaches the 2x int8 MAC
+    rate.  Overflow-safe: |acc| <= 127 * 255 * K < 2^31 for K up to ~66k.
+    """
+    if stacked:
+        refs = refs[1:]
+    n_planes = len(plane_bits)
+    a_ref = refs[0]
+    plane_refs = refs[1 : 1 + n_planes]
+    s_ref, sz_ref, out_ref, acc_ref, asum_ref = refs[1 + n_planes :]
+
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        asum_ref[...] = jnp.zeros_like(asum_ref)
+
+    blocks = [(r[0] if stacked else r[...]) for r in plane_refs]
+    a = a_ref[...]  # int8 (tm, tile_k)
+
+    total = jnp.zeros_like(acc_ref)  # int32
+    asum_t = jnp.zeros_like(asum_ref)  # int32 (tm, 128), col-broadcast
+    for c in range(tile_k // cs):
+        a_c = a[:, c * cs : (c + 1) * cs]
+        asum_t = asum_t + jnp.sum(a_c.astype(jnp.int32), axis=1, keepdims=True)
+        d = None
+        shift = 0
+        for blk, pb in zip(blocks, plane_bits):
+            vals = common.extract_plane_chunk(blk, pb, c, cs, tile_k)
+            v8 = (vals - (128 if pb == 8 else 0)).astype(jnp.int8)
+            dp = jax.lax.dot_general(
+                a_c, v8, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            dp = dp if shift == 0 else (dp << shift)
+            d = dp if d is None else d + dp
+            shift += pb
+        total = total + d
+    acc_ref[...] += total
+    asum_ref[...] += asum_t
+
+    @pl.when(k == pl.num_programs(2) - 1)
+    def _():
+        # single rescale: out = s*(d + 128*asum if 8-bit plane) - sz*asum
+        sr = (s_ref[0, 0, 0, :] if stacked else s_ref[0, 0, :])[None, :].astype(
+            jnp.float32
+        )
+        szr = (sz_ref[0, 0, 0, :] if stacked else sz_ref[0, 0, :])[None, :].astype(
+            jnp.float32
+        )
+        asum = asum_ref[:, :1].astype(jnp.float32)
+        d = acc_ref[...].astype(jnp.float32)
+        if plane_bits == (8,):  # only width 8 has an offset (-128) plane
+            d = d + 128.0 * asum
+        out_ref[...] = (d * sr - asum * szr).astype(out_ref.dtype)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("out_dtype", "tile_m", "tile_n", "precise", "interpret", "a8"),
@@ -280,8 +346,18 @@ def qmatmul_kernel(
     # per-layer packed bytes (what one call streams)
     layers = qt.planes[0].shape[0] if stacked else 1
     packed_bytes = sum(p.size * 4 for p in qt.planes) // layers
+    scratch = [pltpu.VMEM((tm, tn), jnp.float32)]
     if a8:
-        kernel = functools.partial(_kernel_a8, plane_bits, tk, gt, cs, stacked)
+        if qt.group_size >= qt.K:  # per-channel scales: int32-exact fast path
+            kernel = functools.partial(
+                _kernel_a8_perchannel, plane_bits, tk, cs, stacked
+            )
+            scratch = [
+                pltpu.VMEM((tm, tn), jnp.int32),
+                pltpu.VMEM((tm, 128), jnp.int32),
+            ]
+        else:
+            kernel = functools.partial(_kernel_a8, plane_bits, tk, gt, cs, stacked)
     else:
         kernel = functools.partial(
             _kernel, plane_bits, tk, gt, cs, compute_dtype, stacked
@@ -303,7 +379,7 @@ def qmatmul_kernel(
             grid=grid,
             in_specs=in_specs,
             out_specs=out_spec,
-            scratch_shapes=[pltpu.VMEM((tm, tn), jnp.float32)],
+            scratch_shapes=scratch,
         )
         out = pl.pallas_call(
             kernel,
@@ -323,7 +399,7 @@ def qmatmul_kernel(
             in_specs=in_specs,
             out_specs=out_spec,
             out_shape=jax.ShapeDtypeStruct((M, N), out_dtype),
-            scratch_shapes=[pltpu.VMEM((tm, tn), jnp.float32)],
+            scratch_shapes=scratch,
             compiler_params=cparams,
             cost_estimate=cost,
             interpret=interpret,
