@@ -416,6 +416,12 @@ def _attention(q, k, v, mask, scale):
     return out.astype(q.dtype)
 
 
+def _interpret_mode() -> bool:
+    from xbitops_tpu.kernels import common as _kc
+
+    return _kc.interpret_default()
+
+
 def _quant_kv(x):
     """Per-(token, head) absmax int8 quantization of a [B, T, H, D] tensor.
     Values return as int32 (byte range) ready for word packing."""
@@ -492,7 +498,18 @@ def _block(
     if ks_all is not None:  # int8 cache, lane-major packed (4 positions/word)
         kq, ks = _quant_kv(k)
         vq, vs = _quant_kv(v)
-        if T == 1 or kv_unaligned:
+        if T == 1 and slot_ids is None and not _interpret_mode():
+            # decode on real TPU: ONE aliased Pallas call replaces the 6
+            # XLA gather/scatter ops (2 loads + 4 stores) per layer — the
+            # RMW's dispatch/scatter overhead measured ~300 us/layer at 7B.
+            from xbitops_tpu.kernels.kv_append import kv_append_packed
+
+            k_all, v_all, ks_all, vs_all = kv_append_packed(
+                k_all, v_all, ks_all, vs_all,
+                kq[:, 0], vq[:, 0], ks[:, 0], vs[:, 0],
+                positions[:, 0], li,
+            )
+        elif T == 1 or kv_unaligned:
             # decode / unaligned small writes (speculative verify starts at an
             # arbitrary length): read-modify-write one byte per position.
             # T is static and small — the loop unrolls.
