@@ -201,4 +201,10 @@ def dense_aggregate_baseline(cfg) -> float:
 
 
 if __name__ == "__main__":
+    if "--selfcheck" in sys.argv:
+        # one-command on-chip parity gate (covers the emit_pipeline kernels
+        # that interpret-mode CI cannot execute); exit code = failure count
+        from xbitops_tpu.utils.selfcheck import run_selfcheck
+
+        sys.exit(run_selfcheck())
     main()

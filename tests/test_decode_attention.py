@@ -128,3 +128,37 @@ def test_decode_attention_paged():
     )
     want = np.asarray(ref_att(q, kd, vd, lengths))
     np.testing.assert_allclose(got, want, rtol=5e-2, atol=5e-3)
+
+
+def test_decode_attention_paged_stacked():
+    """Stacked paged pool [L, n_pages, psz, Hkv, D] + layer_idx — the shape
+    the engine actually drives (the model always passes layer_idx); covers the
+    rank-5 indexing the flat paged test misses."""
+    L, B, S, H, Hkv, D, psz = 3, 2, 256, 8, 2, 128, 64
+    P, n_pages = S // psz, 10
+    key = jax.random.PRNGKey(11)
+    q = jax.random.normal(key, (B, H, D), jnp.bfloat16)
+    kd = jax.random.normal(jax.random.fold_in(key, 1), (L, B, S, Hkv, D), jnp.bfloat16)
+    vd = jax.random.normal(jax.random.fold_in(key, 2), (L, B, S, Hkv, D), jnp.bfloat16)
+    rng = np.random.default_rng(4)
+    perm = rng.permutation(n_pages)[: B * P]
+    table = np.full((B, P), -1, np.int32)
+    pool_k = np.zeros((L, n_pages, psz, Hkv, D), np.float32)
+    pool_v = np.zeros((L, n_pages, psz, Hkv, D), np.float32)
+    for b in range(B):
+        for p in range(P):
+            pg = int(perm[b * P + p])
+            table[b, p] = pg
+            pool_k[:, pg] = np.asarray(kd[:, b, p * psz : (p + 1) * psz], np.float32)
+            pool_v[:, pg] = np.asarray(vd[:, b, p * psz : (p + 1) * psz], np.float32)
+    lengths = jnp.asarray([70, 256], jnp.int32)
+    for li in range(L):
+        got = np.asarray(
+            decode_attention(
+                q, jnp.asarray(pool_k, jnp.bfloat16), jnp.asarray(pool_v, jnp.bfloat16),
+                lengths, page_table=jnp.asarray(table), layer_idx=jnp.int32(li),
+            ),
+            np.float32,
+        )
+        want = np.asarray(ref_att(q, kd[li], vd[li], lengths))
+        np.testing.assert_allclose(got, want, rtol=5e-2, atol=5e-3)

@@ -508,6 +508,10 @@ class Engine:
                         ):
                             break
                         r = pending.popleft()
+                        # track until _admit_slot records it in slot_req: a
+                        # device fault during the prefill dispatch must requeue
+                        # these, or their completions are silently dropped
+                        in_admission.append(r)
                         prompt = list(r.prompt)
                         if len(prompt) <= self.buckets[-1]:
                             admit.append((b, r, prompt))
@@ -646,8 +650,10 @@ class Engine:
                 decode = self._decode_fn
                 if self._decode_dispatch:
                     # live-length dispatch: below ~256 positions XLA's one-shot
-                    # attention beats the blocked kernel's per-program overhead
-                    live_max = int(slot_len[active].max()) + self.decode_burst
+                    # attention beats the blocked kernel's per-program overhead.
+                    # `steps` (not decode_burst) covers the pipeline case, where
+                    # slot_len trails the in-flight burst by one burst.
+                    live_max = int(slot_len[active].max()) + steps
                     if live_max <= 256:
                         decode = self._decode_fn_short
                 if self.pipeline:
@@ -703,10 +709,12 @@ class Engine:
                 inflight = None
                 # requeue in-flight slots (prompt + emitted so far) and
                 # any requests caught mid-admission; rebuild device state
+                requeued_ids = set()
                 for b in range(self.slots):
                     r = slot_req[b]
                     if r is None:
                         continue
+                    requeued_ids.add(r.id)
                     orig_plen.setdefault(r.id, len(r.prompt))
                     resume_prefix[r.id] = resume_prefix.get(r.id, []) + slot_gen[b]
                     remaining = r.max_new_tokens - len(slot_gen[b])
@@ -719,8 +727,12 @@ class Engine:
                             max_new_tokens=remaining))
                     slot_req[b] = None
                     slot_gen[b] = []
+                # requests popped off pending but not yet recorded in slot_req
+                # (fault during the prefill dispatch itself)
                 for r in in_admission:
-                    if r not in pending:
+                    if r.id not in requeued_ids and all(
+                        p.id != r.id for p in pending
+                    ):
                         pending.appendleft(r)
                 in_admission.clear()
                 active[:] = False

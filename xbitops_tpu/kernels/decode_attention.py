@@ -223,7 +223,15 @@ def _kernel_v2(bs, rep, Hkv, D, scale, stacked, paged, P, has_scales, *refs):
 
     n_live = jnp.maximum((length + bs - 1) // bs, 1)
     bw = bs // 4  # word rows per block in the packed-int8 layout
-    if paged:
+    if paged and stacked:
+        # stacked pool [L, n_pages, psz, Hkv, D]: layer via li_ref, page via
+        # table (mirrors the v1 paged kernel; a rank-4 spec here would read
+        # layer 0 only / fail block-shape checks)
+        kv_spec = pl.BlockSpec(
+            (None, None, bs, Hkv, D),
+            lambda i: (li_ref[0], jnp.maximum(tbl_ref[b * P + i], 0), 0, 0, 0),
+        )
+    elif paged:
         kv_spec = pl.BlockSpec(
             (None, bs, Hkv, D),
             lambda i: (jnp.maximum(tbl_ref[b * P + i], 0), 0, 0, 0),
@@ -240,7 +248,11 @@ def _kernel_v2(bs, rep, Hkv, D, scale, stacked, paged, P, has_scales, *refs):
 
     for r in range(rep):
         denom = jnp.maximum(l_ref[r], 1e-30)[:, None]
-        o_ref[0, :, r, :] = (acc_ref[r] / denom).astype(o_ref.dtype)
+        out = (acc_ref[r] / denom).astype(o_ref.dtype)
+        # n_live clamps to 1 even for length == 0, which would average one
+        # block of garbage rows (all scores NEG_INF -> p = 1); match the v1
+        # kernel's zeros-for-empty-slot semantics instead
+        o_ref[0, :, r, :] = jnp.where(length > 0, out, jnp.zeros_like(out))
 
 
 def _decode_attention_v2(q4, k, v, lengths, bs, rep, Hkv, D,

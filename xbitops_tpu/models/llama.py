@@ -416,6 +416,12 @@ def _attention(q, k, v, mask, scale):
     return out.astype(q.dtype)
 
 
+# Tests set this to route the decode KV write through the fused aliased
+# kv_append kernel even under interpret mode (it supports interpret=; the
+# default CPU path takes the RMW scatters, leaving the kernel untested in CI).
+FORCE_FUSED_KV_APPEND = False
+
+
 def _interpret_mode() -> bool:
     from xbitops_tpu.kernels import common as _kc
 
@@ -498,7 +504,9 @@ def _block(
     if ks_all is not None:  # int8 cache, lane-major packed (4 positions/word)
         kq, ks = _quant_kv(k)
         vq, vs = _quant_kv(v)
-        if T == 1 and slot_ids is None and not _interpret_mode():
+        if T == 1 and slot_ids is None and (
+            not _interpret_mode() or FORCE_FUSED_KV_APPEND
+        ):
             # decode on real TPU: ONE aliased Pallas call replaces the 6
             # XLA gather/scatter ops (2 loads + 4 stores) per layer — the
             # RMW's dispatch/scatter overhead measured ~300 us/layer at 7B.

@@ -1,0 +1,207 @@
+"""One-command on-chip parity gate (``python bench.py --selfcheck``).
+
+The emit_pipeline kernels (flash-decode v2) cannot run under interpret mode
+(CLAUDE.md rule 9), so CPU CI never executes them; before this module their
+on-chip parity lived only in a manual skill recipe.  Each check mirrors a CI
+test's oracle at the reference's own tolerances (SURVEY §4) and runs on
+whatever backend is active — on a real TPU the v2 kernels engage, on CPU the
+same code degrades to the v1 paths (still a valid smoke run).
+
+Role model: the reference embeds its verification in the bench drivers
+(``/root/reference/src/cu/unpack_weight_2_to_7.cu:560-579``).
+"""
+
+from __future__ import annotations
+
+import sys
+import traceback
+from typing import Callable, List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def _ref_att(q, k, v, lengths):
+    B, H, D = q.shape
+    S, Hkv = k.shape[1], k.shape[2]
+    rep = H // Hkv
+    kk = jnp.repeat(k, rep, axis=2).astype(jnp.float32)
+    vv = jnp.repeat(v, rep, axis=2).astype(jnp.float32)
+    logits = jnp.einsum("bhd,bshd->bhs", q.astype(jnp.float32), kk) * (D ** -0.5)
+    mask = jnp.arange(S)[None, None, :] < lengths[:, None, None]
+    p = jax.nn.softmax(jnp.where(mask, logits, -1e30), axis=-1)
+    return jnp.einsum("bhs,bshd->bhd", p, vv)
+
+
+def check_gemv() -> None:
+    """Fused qmatmul (precise) vs f32 dequant reference — rel 1e-5/abs 3e-4
+    (the reference's f32-accum tolerance, gemv_w4a16_c32.cu:421-422)."""
+    import xbitops_tpu as xb
+    from xbitops_tpu import formats
+
+    key = jax.random.PRNGKey(0)
+    K, N, M = 512, 512, 8
+    w = jax.random.normal(key, (K, N), jnp.float32) * 0.1
+    a = jax.random.normal(jax.random.fold_in(key, 1), (M, K), jnp.float32) * 0.5
+    for bits, g in ((4, 128), (8, 128), (3, 64)):
+        qt = xb.quantize_array(w, bits, g)
+        wd = formats.dequant_qtensor_reference(qt, out_dtype=jnp.float32)
+        got = np.asarray(xb.qmatmul(a, qt, out_dtype=jnp.float32, precise=True))
+        want = np.asarray(
+            jnp.dot(a, wd, precision=jax.lax.Precision.HIGHEST)
+        )
+        err = np.abs(got - want).max()
+        assert err < 3e-4, f"gemv {bits}b/g{g}: abs err {err}"
+
+
+def check_dequant() -> None:
+    """dequant op vs the jnp format reference — abs 1e-3 (reference DQ gate)."""
+    import xbitops_tpu as xb
+    from xbitops_tpu import formats
+
+    rng = np.random.default_rng(3)
+    K, N, g = 512, 256, 128
+    for bits in (2, 4, 5, 8):
+        w = (rng.standard_normal((K, N)) * 0.1).astype(np.float32)
+        wq, scales, zeros = formats.quantize(w, bits, g)
+        s16 = scales.astype(np.float16)
+        qweight, _, qzeros = formats.gptq_pack(wq, s16, zeros, bits)
+        got = np.asarray(
+            xb.dequant(jnp.asarray(qweight), jnp.asarray(s16),
+                       jnp.asarray(qzeros), g, bits, K)
+        ).astype(np.float32)
+        want = (wq.astype(np.float32) - zeros.repeat(g, 0)[:K]) * (
+            s16.astype(np.float32).repeat(g, 0)[:K]
+        )
+        err = np.abs(got - want).max()
+        assert err <= 1e-3, f"dequant {bits}b: abs err {err}"
+
+
+def check_decode_attention() -> None:
+    """Flash-decode sweep: dense, stacked, int8-packed, paged, paged+stacked —
+    on TPU these drive the v2 emit_pipeline kernel (no interpret support)."""
+    from xbitops_tpu.kernels.decode_attention import decode_attention
+    from xbitops_tpu.models.llama import _pack_kv_words
+
+    L, B, S, H, Hkv, D = 2, 4, 512, 8, 4, 128
+    key = jax.random.PRNGKey(7)
+    q = jax.random.normal(key, (B, H, D), jnp.bfloat16)
+    k = jax.random.normal(jax.random.fold_in(key, 1), (B, S, Hkv, D), jnp.bfloat16) * 0.3
+    v = jax.random.normal(jax.random.fold_in(key, 2), (B, S, Hkv, D), jnp.bfloat16) * 0.3
+    lengths = jnp.asarray([1, 200, 256, 512], jnp.int32)
+    want = np.asarray(_ref_att(q, k, v, lengths))
+
+    got = np.asarray(decode_attention(q, k, v, lengths, block_s=256), np.float32)
+    np.testing.assert_allclose(got, want, rtol=5e-2, atol=5e-3, err_msg="dense")
+
+    ks = jnp.stack([k] * L)
+    vs = jnp.stack([v] * L)
+    got = np.asarray(
+        decode_attention(q, ks, vs, lengths, block_s=256, layer_idx=jnp.int32(1)),
+        np.float32,
+    )
+    np.testing.assert_allclose(got, want, rtol=5e-2, atol=5e-3, err_msg="stacked")
+
+    # int8 lane-major packed cache
+    kf = k.astype(jnp.float32)
+    vf = v.astype(jnp.float32)
+    kscl = jnp.maximum(jnp.max(jnp.abs(kf), axis=-1), 1e-8) / 127.0
+    vscl = jnp.maximum(jnp.max(jnp.abs(vf), axis=-1), 1e-8) / 127.0
+    kq = jnp.clip(jnp.round(kf / kscl[..., None]), -127, 127).astype(jnp.int32)
+    vq = jnp.clip(jnp.round(vf / vscl[..., None]), -127, 127).astype(jnp.int32)
+    kw, vw = _pack_kv_words(kq), _pack_kv_words(vq)
+    ks_p = kscl.reshape(B, S // 4, 4, Hkv).astype(jnp.bfloat16)
+    vs_p = vscl.reshape(B, S // 4, 4, Hkv).astype(jnp.bfloat16)
+    got = np.asarray(
+        decode_attention(q, kw, vw, lengths, block_s=256, k_scale=ks_p, v_scale=vs_p),
+        np.float32,
+    )
+    kd = (kq.astype(jnp.float32) * kscl[..., None]).astype(jnp.bfloat16)
+    vd = (vq.astype(jnp.float32) * vscl[..., None]).astype(jnp.bfloat16)
+    want_q = np.asarray(_ref_att(q, kd, vd, lengths))
+    np.testing.assert_allclose(got, want_q, rtol=5e-2, atol=2e-2, err_msg="int8")
+
+    # paged (flat + stacked): identity page table, pool == dense cache
+    psz = 256
+    P = S // psz
+    table = jnp.arange(B * P, dtype=jnp.int32).reshape(B, P)
+    pool_k = k.reshape(B * P, psz, Hkv, D)
+    pool_v = v.reshape(B * P, psz, Hkv, D)
+    got = np.asarray(
+        decode_attention(q, pool_k, pool_v, lengths, page_table=table), np.float32
+    )
+    np.testing.assert_allclose(got, want, rtol=5e-2, atol=5e-3, err_msg="paged")
+    got = np.asarray(
+        decode_attention(
+            q, jnp.stack([pool_k] * L), jnp.stack([pool_v] * L), lengths,
+            page_table=table, layer_idx=jnp.int32(1),
+        ),
+        np.float32,
+    )
+    np.testing.assert_allclose(
+        got, want, rtol=5e-2, atol=5e-3, err_msg="paged+stacked"
+    )
+
+
+def check_kv_append() -> None:
+    """Fused aliased kv_append vs a host-side RMW reference (native backend)."""
+    from xbitops_tpu.kernels.kv_append import kv_append_packed
+
+    L, B, S, Hkv, D = 2, 4, 64, 4, 128
+    Sw = S // 4
+    rng = np.random.default_rng(0)
+    k_all = jnp.asarray(rng.integers(-(2**31), 2**31, (L, B, Sw, Hkv, D), np.int64).astype(np.int32))
+    v_all = jnp.asarray(rng.integers(-(2**31), 2**31, (L, B, Sw, Hkv, D), np.int64).astype(np.int32))
+    ks_all = jnp.asarray(rng.standard_normal((L, B, Sw, 4, Hkv)), jnp.bfloat16)
+    vs_all = jnp.asarray(rng.standard_normal((L, B, Sw, 4, Hkv)), jnp.bfloat16)
+    kq = jnp.asarray(rng.integers(-127, 128, (B, Hkv, D)).astype(np.int32))
+    vq = jnp.asarray(rng.integers(-127, 128, (B, Hkv, D)).astype(np.int32))
+    kscl = jnp.asarray(rng.standard_normal((B, Hkv)), jnp.bfloat16)
+    vscl = jnp.asarray(rng.standard_normal((B, Hkv)), jnp.bfloat16)
+    positions = np.asarray([0, 5, 31, S + 3], np.int32)  # last = padding
+    li = 1
+    got = kv_append_packed(
+        k_all, v_all, ks_all, vs_all, kq, vq, kscl, vscl,
+        jnp.asarray(positions), jnp.int32(li),
+    )
+    wk, wv = np.array(k_all), np.array(v_all)
+    wks, wvs = np.array(ks_all), np.array(vs_all)
+    for b in range(B):
+        pos = int(positions[b])
+        if pos >= S:
+            continue
+        w, byte = pos // 4, pos % 4
+        sh = byte * 8
+        keep = ~(np.int32(255) << sh)
+        wk[li, b, w] = (wk[li, b, w] & keep) | ((np.array(kq[b]) & 255) << sh)
+        wv[li, b, w] = (wv[li, b, w] & keep) | ((np.array(vq[b]) & 255) << sh)
+        wks[li, b, w, byte] = np.array(kscl[b], wks.dtype)
+        wvs[li, b, w, byte] = np.array(vscl[b], wvs.dtype)
+    for g, w in zip(got, (wk, wv, wks, wvs)):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w, np.asarray(g).dtype))
+
+
+CHECKS: List[Tuple[str, Callable[[], None]]] = [
+    ("dequant", check_dequant),
+    ("gemv", check_gemv),
+    ("decode_attention", check_decode_attention),
+    ("kv_append", check_kv_append),
+]
+
+
+def run_selfcheck() -> int:
+    """Run every gate; returns the number of failures (0 = all green)."""
+    failures = 0
+    for name, fn in CHECKS:
+        try:
+            fn()
+            _log(f"[selfcheck] {name}: PASS")
+        except Exception:
+            failures += 1
+            _log(f"[selfcheck] {name}: FAIL\n{traceback.format_exc()}")
+    return failures
