@@ -116,12 +116,20 @@ def cmd_quantize(args) -> int:
     t0 = time.time()
     # load_autogptq on a dense checkpoint keeps every projection dense
     params, cfg = load_autogptq(args.ckpt, max_seq_len=args.seq_len)
-    B = max(1, args.calib_tokens // args.seq_len)
-    calib = jax.random.randint(
-        jax.random.PRNGKey(0), (B, args.seq_len), 0, cfg.vocab_size
-    )
-    print(f"calibrating on {B}x{args.seq_len} random tokens "
-          "(pass real text via a tokenizer for production use)", file=sys.stderr)
+    if args.calib_npy:
+        import numpy as np
+
+        calib = jax.numpy.asarray(np.load(args.calib_npy)[:, : args.seq_len])
+        print(f"calibrating on {calib.shape[0]}x{calib.shape[1]} tokens "
+              f"from {args.calib_npy}", file=sys.stderr)
+    else:
+        B = max(1, args.calib_tokens // args.seq_len)
+        calib = jax.random.randint(
+            jax.random.PRNGKey(0), (B, args.seq_len), 0, cfg.vocab_size
+        )
+        print(f"calibrating on {B}x{args.seq_len} random tokens "
+              "(pass real text via --calib-npy for production use)",
+              file=sys.stderr)
     qparams = quantize_model_gptq(
         params, cfg, calib, bits=args.bits, group_size=args.group_size,
         act_order=args.act_order, verbose=True,
@@ -204,6 +212,8 @@ def main(argv=None) -> int:
     q.add_argument("--act-order", action="store_true")
     q.add_argument("--calib-tokens", type=int, default=2048,
                    help="total calibration tokens (random ids if no dataset)")
+    q.add_argument("--calib-npy", default=None,
+                   help=".npy of int token ids [rows, seq] to calibrate on")
     q.add_argument("--seq-len", type=int, default=512)
     q.set_defaults(fn=cmd_quantize)
 
