@@ -1,4 +1,9 @@
-"""Length-aware decode-attention kernel vs the masked-softmax oracle."""
+"""Length-aware decode-attention kernel vs the masked-softmax oracle.
+
+The cache is head-major ([B, Hkv, S, D]; packed int8: biased words
+[B, Hkv, S/4, D] + scales [B, 4, Hkv, S/4]) — tests build row-major
+reference tensors and transpose at the kernel boundary.
+"""
 
 import jax
 import jax.numpy as jnp
@@ -20,6 +25,29 @@ def ref_att(q, k, v, lengths):
     return jnp.einsum("bhs,bshd->bhd", p, vv)
 
 
+def hmT(x):
+    """[.., S, Hkv, D] row-major -> head-major [.., Hkv, S, D]."""
+    return jnp.swapaxes(x, -3, -2)
+
+
+def pack_int8(kf, vf):
+    """Row-major f32 k/v -> (words, scales, dequantized-bf16 refs)."""
+    from xbitops_tpu.models.llama import (
+        _pack_kv_scales, _pack_kv_words, _quant_kv,
+    )
+
+    kq, ks = _quant_kv(kf)  # biased bytes
+    vq, vs = _quant_kv(vf)
+    kd = ((kq - 128).astype(jnp.float32) * ks[..., None]).astype(jnp.bfloat16)
+    vd = ((vq - 128).astype(jnp.float32) * vs[..., None]).astype(jnp.bfloat16)
+    return (
+        _pack_kv_words(kq), _pack_kv_words(vq),
+        _pack_kv_scales(ks).astype(jnp.bfloat16),
+        _pack_kv_scales(vs).astype(jnp.bfloat16),
+        kd, vd,
+    )
+
+
 @pytest.mark.parametrize(
     "B,S,H,Hkv,bs",
     [(2, 256, 8, 2, 64), (3, 300, 12, 4, 128), (1, 64, 4, 4, 64), (2, 128, 4, 1, 32)],
@@ -31,7 +59,7 @@ def test_decode_attention_matches_oracle(B, S, H, Hkv, bs):
     k = jax.random.normal(jax.random.fold_in(key, 1), (B, S, Hkv, D), jnp.bfloat16) * 0.3
     v = jax.random.normal(jax.random.fold_in(key, 2), (B, S, Hkv, D), jnp.bfloat16) * 0.3
     lengths = jnp.asarray(np.random.default_rng(S).integers(1, S + 1, B), jnp.int32)
-    got = np.asarray(decode_attention(q, k, v, lengths, block_s=bs), np.float32)
+    got = np.asarray(decode_attention(q, hmT(k), hmT(v), lengths, block_s=bs), np.float32)
     want = np.asarray(ref_att(q, k, v, lengths))
     np.testing.assert_allclose(got, want, rtol=5e-2, atol=2e-3)
 
@@ -45,7 +73,8 @@ def test_decode_attention_stacked_layer_index():
     lengths = jnp.asarray([60, 128], jnp.int32)
     for li in range(L):
         got = np.asarray(
-            decode_attention(q, ks, vs, lengths, block_s=64, layer_idx=jnp.int32(li)),
+            decode_attention(q, hmT(ks), hmT(vs), lengths, block_s=64,
+                             layer_idx=jnp.int32(li)),
             np.float32,
         )
         want = np.asarray(ref_att(q, ks[li], vs[li], lengths))
@@ -60,40 +89,31 @@ def test_decode_attention_length_isolation():
     k = jax.random.normal(jax.random.fold_in(key, 1), (B, S, Hkv, D), jnp.bfloat16)
     v = jax.random.normal(jax.random.fold_in(key, 2), (B, S, Hkv, D), jnp.bfloat16)
     lengths = jnp.asarray([40, 100], jnp.int32)
-    base = np.asarray(decode_attention(q, k, v, lengths, block_s=32), np.float32)
+    base = np.asarray(decode_attention(q, hmT(k), hmT(v), lengths, block_s=32), np.float32)
     # poison everything past the lengths with huge values
     pos = jnp.arange(S)[None, :, None, None]
     poison = jnp.where(pos >= lengths[:, None, None, None], 1e4, 0).astype(k.dtype)
     got = np.asarray(
-        decode_attention(q, k + poison, v + poison, lengths, block_s=32), np.float32
+        decode_attention(q, hmT(k + poison), hmT(v + poison), lengths, block_s=32),
+        np.float32,
     )
     np.testing.assert_array_equal(got, base)
 
 
 def test_decode_attention_int8_scales():
-    """Packed int8 k/v (4 positions/int32 word along S) + per-(pos, head)
-    scales dequantize in-kernel to match the dequantized-oracle attention."""
-    from xbitops_tpu.models.llama import _pack_kv_words
-
+    """Packed biased int8 k/v + per-(pos, head) scales dequantize in-kernel to
+    match the dequantized-oracle attention."""
     B, S, H, Hkv, D = 2, 128, 8, 2, 128
     key = jax.random.PRNGKey(3)
     q = jax.random.normal(key, (B, H, D), jnp.bfloat16)
     kf = jax.random.normal(jax.random.fold_in(key, 1), (B, S, Hkv, D)) * 0.5
     vf = jax.random.normal(jax.random.fold_in(key, 2), (B, S, Hkv, D)) * 0.5
-    ks = jnp.maximum(jnp.max(jnp.abs(kf), axis=-1), 1e-8) / 127.0
-    vs = jnp.maximum(jnp.max(jnp.abs(vf), axis=-1), 1e-8) / 127.0
-    kq = jnp.clip(jnp.round(kf / ks[..., None]), -127, 127).astype(jnp.int32)
-    vq = jnp.clip(jnp.round(vf / vs[..., None]), -127, 127).astype(jnp.int32)
-    kw, vw = _pack_kv_words(kq), _pack_kv_words(vq)
-    ks_p = ks.reshape(B, S // 4, 4, Hkv).astype(jnp.bfloat16)
-    vs_p = vs.reshape(B, S // 4, 4, Hkv).astype(jnp.bfloat16)
+    kw, vw, ks_p, vs_p, kd, vd = pack_int8(kf, vf)
     lengths = jnp.asarray([50, 128], jnp.int32)
     got = np.asarray(
         decode_attention(q, kw, vw, lengths, block_s=64, k_scale=ks_p, v_scale=vs_p),
         np.float32,
     )
-    kd = (kq.astype(jnp.float32) * ks_p.reshape(B, S, Hkv).astype(jnp.float32)[..., None]).astype(jnp.bfloat16)
-    vd = (vq.astype(jnp.float32) * vs_p.reshape(B, S, Hkv).astype(jnp.float32)[..., None]).astype(jnp.bfloat16)
     want = np.asarray(ref_att(q, kd, vd, lengths))
     np.testing.assert_allclose(got, want, rtol=5e-2, atol=5e-3)
 
@@ -110,14 +130,16 @@ def test_decode_attention_paged():
     rng = np.random.default_rng(0)
     perm = rng.permutation(n_pages)[: B * P]
     table = np.full((B, P), -1, np.int32)
-    pool_k = np.zeros((n_pages, psz, Hkv, D), np.float32)
-    pool_v = np.zeros((n_pages, psz, Hkv, D), np.float32)
+    pool_k = np.zeros((n_pages, Hkv, psz, D), np.float32)
+    pool_v = np.zeros((n_pages, Hkv, psz, D), np.float32)
+    kT = np.asarray(hmT(kd), np.float32)  # (B, Hkv, S, D)
+    vT = np.asarray(hmT(vd), np.float32)
     for b in range(B):
         for p in range(P):
             pg = int(perm[b * P + p])
             table[b, p] = pg
-            pool_k[pg] = np.asarray(kd[b, p * psz : (p + 1) * psz], np.float32)
-            pool_v[pg] = np.asarray(vd[b, p * psz : (p + 1) * psz], np.float32)
+            pool_k[pg] = kT[b, :, p * psz : (p + 1) * psz]
+            pool_v[pg] = vT[b, :, p * psz : (p + 1) * psz]
     lengths = jnp.asarray([70, 256], jnp.int32)
     got = np.asarray(
         decode_attention(
@@ -131,9 +153,8 @@ def test_decode_attention_paged():
 
 
 def test_decode_attention_paged_stacked():
-    """Stacked paged pool [L, n_pages, psz, Hkv, D] + layer_idx — the shape
-    the engine actually drives (the model always passes layer_idx); covers the
-    rank-5 indexing the flat paged test misses."""
+    """Stacked paged pool [L, n_pages, Hkv, psz, D] + layer_idx — the shape
+    the engine actually drives (the model always passes layer_idx)."""
     L, B, S, H, Hkv, D, psz = 3, 2, 256, 8, 2, 128, 64
     P, n_pages = S // psz, 10
     key = jax.random.PRNGKey(11)
@@ -143,14 +164,16 @@ def test_decode_attention_paged_stacked():
     rng = np.random.default_rng(4)
     perm = rng.permutation(n_pages)[: B * P]
     table = np.full((B, P), -1, np.int32)
-    pool_k = np.zeros((L, n_pages, psz, Hkv, D), np.float32)
-    pool_v = np.zeros((L, n_pages, psz, Hkv, D), np.float32)
+    pool_k = np.zeros((L, n_pages, Hkv, psz, D), np.float32)
+    pool_v = np.zeros((L, n_pages, Hkv, psz, D), np.float32)
+    kT = np.asarray(hmT(kd), np.float32)  # (L, B, Hkv, S, D)
+    vT = np.asarray(hmT(vd), np.float32)
     for b in range(B):
         for p in range(P):
             pg = int(perm[b * P + p])
             table[b, p] = pg
-            pool_k[:, pg] = np.asarray(kd[:, b, p * psz : (p + 1) * psz], np.float32)
-            pool_v[:, pg] = np.asarray(vd[:, b, p * psz : (p + 1) * psz], np.float32)
+            pool_k[:, pg] = kT[:, b, :, p * psz : (p + 1) * psz]
+            pool_v[:, pg] = vT[:, b, :, p * psz : (p + 1) * psz]
     lengths = jnp.asarray([70, 256], jnp.int32)
     for li in range(L):
         got = np.asarray(
@@ -162,3 +185,48 @@ def test_decode_attention_paged_stacked():
         )
         want = np.asarray(ref_att(q, kd[li], vd[li], lengths))
         np.testing.assert_allclose(got, want, rtol=5e-2, atol=5e-3)
+
+
+def test_decode_attention_paged_int8():
+    """Paged + packed-int8 combination (round-2 verdict item 10): int8 word
+    pools + scale pools behind a shuffled page table == dequantized oracle."""
+    B, S, H, Hkv, D, psz = 2, 256, 8, 2, 128, 64
+    P, n_pages = S // psz, 10
+    key = jax.random.PRNGKey(13)
+    q = jax.random.normal(key, (B, H, D), jnp.bfloat16)
+    kf = jax.random.normal(jax.random.fold_in(key, 1), (B, S, Hkv, D)) * 0.5
+    vf = jax.random.normal(jax.random.fold_in(key, 2), (B, S, Hkv, D)) * 0.5
+    kw, vw, ks_p, vs_p, kd, vd = pack_int8(kf, vf)
+    # kw (B, Hkv, S/4, D); ks_p (B, 4, Hkv, S/4)
+    rng = np.random.default_rng(2)
+    perm = rng.permutation(n_pages)[: B * P]
+    table = np.full((B, P), -1, np.int32)
+    pszw = psz // 4
+    pool_k = np.zeros((n_pages, Hkv, pszw, D), np.int32)
+    pool_v = np.zeros((n_pages, Hkv, pszw, D), np.int32)
+    pool_ks = np.zeros((n_pages, 4, Hkv, pszw), np.float32)
+    pool_vs = np.zeros((n_pages, 4, Hkv, pszw), np.float32)
+    kw_n, vw_n = np.asarray(kw), np.asarray(vw)
+    ks_n = np.asarray(ks_p, np.float32)
+    vs_n = np.asarray(vs_p, np.float32)
+    for b in range(B):
+        for p in range(P):
+            pg = int(perm[b * P + p])
+            table[b, p] = pg
+            sl = slice(p * pszw, (p + 1) * pszw)
+            pool_k[pg] = kw_n[b, :, sl]
+            pool_v[pg] = vw_n[b, :, sl]
+            pool_ks[pg] = ks_n[b, :, :, sl]
+            pool_vs[pg] = vs_n[b, :, :, sl]
+    lengths = jnp.asarray([70, 256], jnp.int32)
+    got = np.asarray(
+        decode_attention(
+            q, jnp.asarray(pool_k), jnp.asarray(pool_v), lengths,
+            page_table=jnp.asarray(table),
+            k_scale=jnp.asarray(pool_ks, jnp.bfloat16),
+            v_scale=jnp.asarray(pool_vs, jnp.bfloat16),
+        ),
+        np.float32,
+    )
+    want = np.asarray(ref_att(q, kd, vd, lengths))
+    np.testing.assert_allclose(got, want, rtol=5e-2, atol=5e-3)

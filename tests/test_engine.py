@@ -213,7 +213,7 @@ def test_engine_kv_quant_close_to_bf16(params):
     eng_q = Engine(params, CFG, slots=2, prefill_buckets=[4, 8], kv_quant=True)
     # packed layout: int32 words of 4 positions, S axis is S/4
     assert eng_q.cache.k.dtype == jnp.int32 and eng_q.cache.quantized
-    assert eng_q.cache.k.shape[2] == CFG.max_seq_len // 4
+    assert eng_q.cache.k.shape[3] == CFG.max_seq_len // 4  # [L,B,Hkv,S/4,D]
     assert eng_q.cache.S == CFG.max_seq_len
     b = eng_q.generate(reqs())
     total = agree = 0
@@ -312,6 +312,15 @@ def test_engine_pipelined_matches(params):
     burst = Engine(params, CFG, slots=2, prefill_buckets=[4, 8],
                    pipeline=True, decode_burst=3).generate(reqs())
     assert [c.tokens for c in sync] == [c.tokens for c in burst]
+    # deeper pipelines (N bursts in flight, host bookkeeping N bursts late)
+    # still emit the identical stream
+    for depth in (2, 4):
+        deep = Engine(params, CFG, slots=2, prefill_buckets=[4, 8],
+                      pipeline=depth, decode_burst=2).generate(reqs())
+        assert [c.tokens for c in sync] == [c.tokens for c in deep], depth
+        assert [c.finish_reason for c in sync] == [
+            c.finish_reason for c in deep
+        ]
 
 
 def test_engine_pipelined_paged(params):

@@ -81,7 +81,7 @@ class Engine:
         paged: bool = False,
         pool_pages: Optional[int] = None,
         page_size: int = 256,
-        pipeline: bool = False,
+        pipeline: int = 0,
         max_restarts: int = 0,
     ):
         """``decode_burst`` chains that many decode steps in one device
@@ -103,17 +103,18 @@ class Engine:
         reads pages through scalar-prefetch index maps — no gathers on the
         hot path.
 
-        ``pipeline=True`` keeps one decode burst IN FLIGHT: the next burst
-        dispatches with device-resident tokens before the previous burst's
-        results reach the host, so host bookkeeping and dispatch latency
-        overlap device compute (continuation tokens never round-trip).
-        Bookkeeping trails one burst — a finished slot decodes one extra
-        (discarded) burst, and admissions see slot state one burst late —
-        but emitted tokens are identical.  Pays on high-latency links with
-        SMALL bursts (the hidden latency must outweigh the wasted stale
-        burst: measured on the remote-tunnel v5e, burst=32 LOSES ~20% to
-        stale-burst waste while small bursts gain); exclusive with
-        ``spec_tokens``.
+        ``pipeline=N`` (or True = 1) keeps up to N decode bursts IN FLIGHT:
+        each new burst dispatches chained off the newest in-flight burst's
+        device-resident tokens before older results reach the host, so host
+        bookkeeping and dispatch latency overlap device compute
+        (continuation tokens never round-trip).  Bookkeeping trails N
+        bursts — a finished slot decodes up to N extra (discarded) bursts,
+        and admissions see slot state N bursts late — but emitted tokens
+        are identical.  Pays on high-latency links with SMALL bursts (the
+        hidden latency must outweigh the wasted stale bursts: measured on
+        the remote-tunnel v5e, burst=32 LOSES ~20% to stale-burst waste
+        while small bursts gain, and depth > 1 keeps the device busy across
+        consecutive host round-trips); exclusive with ``spec_tokens``.
 
         ``spec_tokens`` (gamma > 0) enables speculative decoding: each step
         drafts gamma tokens per slot by n-gram lookup in the slot's own
@@ -152,7 +153,7 @@ class Engine:
                 raise ValueError("kv_quant requires prefill_chunk % 4 == 0")
         self.decode_burst = max(1, decode_burst)
         self.spec_tokens = max(0, spec_tokens)
-        self.pipeline = bool(pipeline)
+        self.pipeline = int(pipeline)  # max bursts in flight (0 = sync)
         if self.spec_tokens and self.decode_burst > 1:
             raise ValueError("spec_tokens and decode_burst > 1 are exclusive")
         if self.spec_tokens and self.pipeline:
@@ -190,7 +191,8 @@ class Engine:
             if paged:
                 n_pages = pool_pages or slots * (cfg.max_seq_len // page_size)
                 c = llama.KVCache.init_paged(
-                    cfg, slots, n_pages, page_size, dtype=cache_dtype
+                    cfg, slots, n_pages, page_size, dtype=cache_dtype,
+                    quantized=kv_quant,
                 )
                 self._free_pages = list(range(n_pages))
                 self._slot_pages = [[] for _ in range(slots)]
@@ -208,8 +210,8 @@ class Engine:
             return c
 
         if paged:
-            if kv_quant:
-                raise NotImplementedError("paged + int8 KV cache")
+            if kv_quant and page_size % 4:
+                raise ValueError("paged int8 KV needs page_size % 4 == 0")
             if not cfg.flash_decode or cfg.head_dim % 128:
                 raise ValueError("paged KV requires the flash decode kernel")
             if cfg.max_seq_len % page_size:
@@ -439,11 +441,11 @@ class Engine:
         cur_tok = np.zeros(self.slots, np.int32)
         temps = np.zeros(self.slots, np.float32)
         active = np.zeros(self.slots, bool)
-        # pipelined decode: the burst whose results haven't reached the host
-        # yet, plus per-slot admission epochs so a recycled slot never
-        # swallows its previous occupant's in-flight tokens
+        # pipelined decode: bursts whose results haven't reached the host
+        # yet (oldest first), plus per-slot admission epochs so a recycled
+        # slot never swallows its previous occupant's in-flight tokens
         slot_epoch = np.zeros(self.slots, np.int64)
-        inflight: Optional[dict] = None
+        inflight: deque = deque()
         done: List[Completion] = []
 
         def finish(b: int, reason: str):
@@ -473,12 +475,11 @@ class Engine:
 
         def drain(burst=None):
             """Process a burst's tokens (blocks until it's done on device —
-            with pipelining the NEXT burst is already running by then)."""
-            nonlocal inflight
+            with pipelining newer bursts are already running by then)."""
             if burst is None:
-                burst, inflight = inflight, None
-            if burst is None:
-                return
+                if not inflight:
+                    return
+                burst = inflight.popleft()
             toks = np.asarray(jax.device_get(burst["toks"]))
             sa, epochs = burst["step_active"], burst["epochs"]
             for step in range(toks.shape[0]):
@@ -491,8 +492,7 @@ class Engine:
         orig_plen: dict = {}  # id -> original prompt length
 
         def run_loop():
-            nonlocal inflight
-            while pending or active.any() or inflight is not None:
+            while pending or active.any() or inflight:
                 # admit new requests into free slots.  Short prompts batch into
                 # ONE prefill dispatch (padded rows are inert); long prompts
                 # batch too — all of them advance one chunk per dispatch, in
@@ -604,8 +604,8 @@ class Engine:
                 # the pool can't serve this step sit out, resuming when free
                 steps = (self.spec_tokens + 1) if self.spec_tokens else self.decode_burst
                 if self.pipeline:
-                    # slot_len lags the in-flight burst — cover both bursts
-                    steps *= 2
+                    # slot_len lags the in-flight bursts — cover all of them
+                    steps *= self.pipeline + 1
                 step_active = active.copy()
                 if self.paged:
                     for b in range(self.slots):
@@ -658,18 +658,19 @@ class Engine:
                         decode = self._decode_fn_short
                 if self.pipeline:
                     # dispatch the next burst with device-resident tokens BEFORE
-                    # reading the in-flight one: continuing slots chain through
-                    # the previous burst's last device token (no host round-trip)
-                    if inflight is not None:
+                    # reading in-flight ones: continuing slots chain through the
+                    # NEWEST burst's last device token (no host round-trip)
+                    if inflight:
                         # chain only slots still owned by the occupant the burst
                         # was dispatched for — a slot recycled meanwhile takes its
                         # fresh prefill token from the host instead
+                        newest = inflight[-1]
                         cont = jnp.asarray(
-                            inflight["step_active"]
-                            & (slot_epoch == inflight["epochs"])
+                            newest["step_active"]
+                            & (slot_epoch == newest["epochs"])
                         )
                         toks_in = jnp.where(
-                            cont, inflight["toks"][-1], jnp.asarray(cur_tok)
+                            cont, newest["toks"][-1], jnp.asarray(cur_tok)
                         )
                     else:
                         toks_in = jnp.asarray(cur_tok)
@@ -677,12 +678,13 @@ class Engine:
                         self.params, self.cache, toks_in,
                         jnp.asarray(step_active), self._split_key(), jnp.asarray(temps),
                     )
-                    prev, inflight = inflight, dict(
+                    inflight.append(dict(
                         toks=toks_dev, step_active=step_active.copy(),
                         epochs=slot_epoch.copy(),
-                    )
-                    if prev is not None:
-                        drain(prev)
+                    ))
+                    # only block on the oldest burst once the pipeline is full
+                    while len(inflight) > self.pipeline:
+                        drain()
                     continue
 
                 toks_dev, self.cache = decode(
@@ -706,7 +708,7 @@ class Engine:
                 if self.restarts >= self.max_restarts:
                     raise
                 self.restarts += 1
-                inflight = None
+                inflight.clear()
                 # requeue in-flight slots (prompt + emitted so far) and
                 # any requests caught mid-admission; rebuild device state
                 requeued_ids = set()

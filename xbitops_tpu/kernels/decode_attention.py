@@ -5,30 +5,45 @@ kernel exists because the XLA fallback attends over the FULL static KV-cache
 allocation every decode step — masking hides the values but not the HBM
 reads, so long-context decode pays for dead cache positions.
 
-Design (flash-decoding style, shaped for the TPU VPU):
+Layout (round-3 redesign): the cache is HEAD-MAJOR, ``[B, Hkv, S, D]``
+(stacked: ``[L, B, Hkv, S, D]``).  Head-major is what makes the MXU usable
+for decode attention: a head-group's keys flatten to a ``(G*bs, D)`` matrix
+with a contiguous leading merge (no relayout), so scores and the p·v
+reduction each become ONE MXU dot per group instead of ~8K VPU lane-ops per
+block.  The cross-head products the group dot also computes are masked by
+own-head lane segments and folded with static tile-aligned slices — measured
+(v5e, B=8, S=2048, live=1000, MHA): 259 → 199 µs/layer vs the row-major VPU
+kernel, 1.2× the DMA bound.
 
-- k/v blocks stream in the cache's NATIVE ``(bs, Hkv, D)`` shape — no
-  host-side reshape (reshaping a multi-GB array right before a custom call
-  makes XLA materialize a full copy per call) and no in-kernel lane merges
-  (relayouts);
-- grid ``(B, S_blocks)`` only: one program per sequence block moves
-  ``bs * Hkv * D`` contiguous bytes — large, pipeline-friendly DMAs (a
-  per-head grid would move 32 KB blocks and run latency-bound);
-- per block, scores for all kv heads at once: elementwise ``k * q_r`` and a
-  lane reduction over D — M=1 attention has no use for the MXU, the VPU does
-  everything at a fraction of the DMA time; online softmax (running max /
-  denominator / accumulator in VMEM scratch) across sequence blocks;
-- per-slot lengths arrive as a **scalar-prefetch** argument feeding the k/v
-  index maps, which clamp past-length block indices to the last live block:
-  Mosaic skips the DMA when consecutive steps map to the same block, so HBM
-  traffic scales with actual lengths, not the allocation (compute also skips
-  via ``pl.when``);
-- with ``layer_idx`` the k/v operands are the WHOLE stacked cache
-  ``[L, B, S, Hkv, D]`` and a second scalar-prefetch argument selects the
-  layer — inside a ``lax.scan`` over layers nothing is sliced or copied.
+Packed int8 cache: words ``[B, Hkv, S/4, D]`` int32 (byte j of word w =
+position 4w+j along S), bytes stored BIASED (u = v+128 ∈ [1, 255]) so byte
+isolation is ONE op (mask, or logical shift for the top byte) + one convert;
+the bias folds into per-head corrections (128·Σq for scores, 128·Σp·vs for
+p·v).  Scales ``[B, 4, Hkv, S/4]`` bf16: the S/4 minor dim makes the layout
+HBM-exact (the old ``[.., S/4, 4, Hkv]`` layout padded 4× under T(4,128)
+tiling and forced whole-slot VMEM residency + per-step XLA layout copies,
+~1.2 ms/step at 7B), and scale blocks now stream through the pipeline like
+the data.  The 2^(8j) field factors fold into the scale rows (exact powers
+of two).
 
-GQA: the ``rep = H/Hkv`` query heads sharing a kv head loop inside the kernel
-(k/v blocks are reused across them).
+Two kernels:
+
+- **v1** (grid ``(B, S_blocks)``): per-block programs with scalar-prefetch
+  length clamping — the interpreter-friendly oracle (CPU CI) and the
+  fallback for shapes the pipelined kernel can't take (S not a multiple of
+  the block).
+- **v2** (grid ``(B,)``): one program per slot, inner ``pltpu.emit_pipeline``
+  with a DYNAMIC grid over the slot's live blocks (per-program fixed cost
+  paid B times, HBM traffic exactly the live blocks), head-group MXU dots.
+  Requires a real TPU (emit_pipeline has no interpreter support).
+
+Paged mode composes with both dense and int8 caches: k/v are page POOLS
+(``[(L,) n_pages, Hkv, psz, D]``; int8: ``psz/4`` words + a scale pool) and
+grid step ``s`` of slot ``b`` streams pool page ``page_table[b, s]`` through
+the scalar-prefetch-driven index maps.
+
+GQA: the ``rep = H/Hkv`` query heads sharing a kv head loop inside the
+kernels (k/v blocks are reused across them).
 """
 
 from __future__ import annotations
@@ -44,6 +59,18 @@ from jax.experimental.pallas import tpu as pltpu
 from xbitops_tpu.kernels import common
 
 NEG_INF = -1e30
+
+
+def _pick_group(Hkv: int) -> int:
+    for g in (8, 4, 2, 1):
+        if Hkv % g == 0:
+            return g
+    return 1
+
+
+# --------------------------------------------------------------------------
+# v1: grid-per-block kernel (interpret-mode oracle + non-block-multiple S)
+# --------------------------------------------------------------------------
 
 
 def _kernel(bs, rep, Hkv, D, scale, stacked, has_scales, paged, *refs):
@@ -74,88 +101,72 @@ def _kernel(bs, rep, Hkv, D, scale, stacked, has_scales, paged, *refs):
         q = q_ref[0].astype(jnp.float32)  # (Hkv, rep, D)
 
         def online_update(r, scores, v, p_scale=None):
-            """One online-softmax accumulation of `scores` (rows, Hkv) with
-            values `v` (rows, Hkv, D); `p_scale` optionally rescales the
-            probabilities per (row, head) — how per-position v-scales fold in
-            without ever broadcasting over D."""
-            m_prev = m_ref[r : r + 1, :]  # (1, Hkv)
-            m_new = jnp.maximum(m_prev, jnp.max(scores, axis=0, keepdims=True))
-            m_ref[r : r + 1, :] = m_new
-            alpha = jnp.exp(m_prev - m_new)  # (1, Hkv)
-            p = jnp.exp(scores - m_new)  # (rows, Hkv)
-            l_ref[r : r + 1, :] = l_ref[r : r + 1, :] * alpha + jnp.sum(
-                p, axis=0, keepdims=True
-            )
+            """One online-softmax accumulation: scores (Hkv, rows), values
+            v (Hkv, rows, D); ``p_scale`` (Hkv, rows) folds per-position
+            v-scales into the probabilities (never broadcast over D)."""
+            m_prev = m_ref[r]  # (Hkv, 1)
+            m_new = jnp.maximum(m_prev, jnp.max(scores, axis=1, keepdims=True))
+            m_ref[r] = m_new
+            alpha = jnp.exp(m_prev - m_new)  # (Hkv, 1)
+            p = jnp.exp(scores - m_new)  # (Hkv, rows)
+            l_ref[r] = l_ref[r] * alpha + jnp.sum(p, axis=1, keepdims=True)
             if p_scale is not None:
                 p = p * p_scale
-            pv = jnp.sum(p[:, :, None] * v, axis=0)  # (Hkv, D)
-            acc_ref[r] = acc_ref[r] * alpha[0][:, None] + pv
+            pv = jnp.sum(p[:, :, None] * v, axis=1)  # (Hkv, D)
+            acc_ref[r] = acc_ref[r] * alpha + pv
 
         if has_scales:
-            # int8 cache, lane-major packed: byte j of word row w = position
-            # 4w+j.  Each byte stream unpacks in-register (shift-left +
-            # arithmetic-shift-right sign extension) and runs its own online
-            # softmax update; k-scales fold into the scores and v-scales into
-            # the probabilities, both (rows, Hkv) — scales never broadcast
-            # over D, so no <128-lane reshapes/transposes reach Mosaic.
             bw = bs // 4
-            kw = k_ref[0, 0] if stacked else k_ref[0]  # (bw, Hkv, D) int32
-            vw = v_ref[0, 0] if stacked else v_ref[0]
-            ks = (ks_ref[0, 0] if stacked else ks_ref[0]).astype(jnp.float32)
-            vs = (vs_ref[0, 0] if stacked else vs_ref[0]).astype(jnp.float32)
-            j_iota = jax.lax.broadcasted_iota(jnp.int32, (bw, 4, Hkv), 1)
-            w_iota = jax.lax.broadcasted_iota(jnp.int32, (bw, Hkv), 0)
+            # leading block dims are None -> already dropped from the refs
+            kw = k_ref[...]  # (Hkv, bw, D) int32 biased words
+            vw = v_ref[...]
+            ksb = ks_ref[...].astype(jnp.float32)  # (4, Hkv, bw)
+            vsb = vs_ref[...].astype(jnp.float32)
+            w_iota = jax.lax.broadcasted_iota(jnp.int32, (Hkv, bw), 1)
             for j in range(4):
-                kj = ((kw << (24 - 8 * j)) >> 24).astype(jnp.float32)
-                vj = ((vw << (24 - 8 * j)) >> 24).astype(jnp.float32)
-                # (bw, Hkv) scale rows for byte j via one-hot reduce (static
-                # middle-axis slicing lowers as an unsupported gather)
-                one_j = (j_iota == j).astype(jnp.float32)
-                ksj = jnp.sum(ks * one_j, axis=1)
-                vsj = jnp.sum(vs * one_j, axis=1)
+                uj_k = (jax.lax.shift_right_logical(kw, 8 * j) & 255)
+                uj_v = (jax.lax.shift_right_logical(vw, 8 * j) & 255)
+                kj = uj_k.astype(jnp.float32) - 128.0  # (Hkv, bw, D)
+                vj = uj_v.astype(jnp.float32) - 128.0
+                ksj = ksb[j]  # (Hkv, bw)
+                vsj = vsb[j]
                 live = s * bs + 4 * w_iota + j < length
                 for r in range(rep):
                     qr = q[:, r, :]
-                    scores = jnp.sum(kj * qr[None, :, :], axis=2) * scale * ksj
+                    scores = jnp.sum(kj * qr[:, None, :], axis=2) * scale * ksj
                     scores = jnp.where(live, scores, NEG_INF)
                     online_update(r, scores, vj, p_scale=vsj)
         else:
-            k = (k_ref[0, 0] if stacked else k_ref[0]).astype(jnp.float32)
-            v = (v_ref[0, 0] if stacked else v_ref[0]).astype(jnp.float32)
-            # row i of this block is cache position s*bs + i
+            k = k_ref[...].astype(jnp.float32)  # (Hkv, bs, D)
+            v = v_ref[...].astype(jnp.float32)
             live = (
-                s * bs + jax.lax.broadcasted_iota(jnp.int32, (bs, Hkv), 0) < length
+                s * bs + jax.lax.broadcasted_iota(jnp.int32, (Hkv, bs), 1) < length
             )
             for r in range(rep):
                 qr = q[:, r, :]  # (Hkv, D)
-                scores = jnp.sum(k * qr[None, :, :], axis=2) * scale  # (bs, Hkv)
+                scores = jnp.sum(k * qr[:, None, :], axis=2) * scale  # (Hkv, bs)
                 scores = jnp.where(live, scores, NEG_INF)
                 online_update(r, scores, v)
 
     @pl.when(s == pl.num_programs(1) - 1)
     def _():
         for r in range(rep):
-            denom = jnp.maximum(l_ref[r], 1e-30)[:, None]  # (Hkv, 1)
+            denom = jnp.maximum(l_ref[r], 1e-30)  # (Hkv, 1)
             o_ref[0, :, r, :] = (acc_ref[r] / denom).astype(o_ref.dtype)
 
 
-def _kernel_v2(bs, rep, Hkv, D, scale, stacked, paged, P, has_scales, *refs):
-    """Pipelined variant: ONE program per slot; the slot's live blocks stream
-    through an inner ``pltpu.emit_pipeline`` with a DYNAMIC grid
-    (ceil(length/bs) steps), so the per-program fixed cost is paid B times
-    per call instead of B * S/bs times.  Measured (v5e, B=8, S=2048,
-    len=1000, MHA): 675 -> 464 us per layer-call vs the grid-per-block
-    kernel, whose ~5-8 us/program setup dominated.  HBM traffic additionally
-    drops to exactly the live blocks (no clamped re-reads).
+# --------------------------------------------------------------------------
+# v2: one program per slot, dynamic inner pipeline, head-group MXU dots
+# --------------------------------------------------------------------------
 
-    Requires real TPU (emit_pipeline has no interpreter support); the
-    wrapper falls back to the v1 grid kernel under interpret mode."""
+
+def _kernel_v2(bs, rep, Hkv, D, scale, stacked, paged, P, has_scales, *refs):
     refs = list(refs)
     lens_ref = refs.pop(0)
     tbl_ref = refs.pop(0) if paged else None
     li_ref = refs.pop(0) if stacked else None
     if has_scales:
-        q_ref, k_hbm, v_hbm, ks_ref, vs_ref, o_ref, m_ref, l_ref, acc_ref = refs
+        q_ref, k_hbm, v_hbm, ks_hbm, vs_hbm, o_ref, m_ref, l_ref, acc_ref = refs
     else:
         q_ref, k_hbm, v_hbm, o_ref, m_ref, l_ref, acc_ref = refs
     b = pl.program_id(0)
@@ -163,91 +174,175 @@ def _kernel_v2(bs, rep, Hkv, D, scale, stacked, paged, P, has_scales, *refs):
     m_ref[...] = jnp.full_like(m_ref, NEG_INF)
     l_ref[...] = jnp.zeros_like(l_ref)
     acc_ref[...] = jnp.zeros_like(acc_ref)
-    q = q_ref[0].astype(jnp.float32)  # (Hkv, rep, D)
+    G = _pick_group(Hkv)
+    n_grp = Hkv // G
+    bw = bs // 4
 
-    def online_update(r, scores, v, p_scale=None):
-        m_prev = m_ref[r : r + 1, :]
-        m_new = jnp.maximum(m_prev, jnp.max(scores, axis=0, keepdims=True))
-        m_ref[r : r + 1, :] = m_new
+    if has_scales:
+        qf = q_ref[0].astype(jnp.float32)  # (Hkv, rep, D)
+        qsum128 = 128.0 * jnp.sum(qf, axis=2, keepdims=True)  # (Hkv, rep, 1)
+        rows = bw
+    else:
+        qf = q_ref[0]  # bf16: MXU eats it directly
+        rows = bs
+    # own-head lane segments of a (G, G*rows) cross-product block
+    seg = jax.lax.broadcasted_iota(jnp.int32, (G, G * rows), 1) // rows
+    row_i = jax.lax.broadcasted_iota(jnp.int32, (G, G * rows), 0)
+    own = seg == row_i
+
+    def fold_own(sx):
+        """Sum the own-head lane segments of a (G, G*rows) cross block into
+        (G, rows) — static tile-aligned slices, no reshape/relayout."""
+        sxm = jnp.where(own, sx, 0.0)
+        out = sxm[:, 0:rows]
+        for h2 in range(1, G):
+            out = out + sxm[:, h2 * rows : (h2 + 1) * rows]
+        return out
+
+    def expand_own(p):
+        """(G, rows) probabilities -> (G, G*rows) with row h live only in its
+        own-head lane segment (zeros kill the cross terms in the p·v dot)."""
+        pt = jnp.concatenate([p] * G, axis=1)
+        return jnp.where(own, pt, 0.0)
+
+    def update(r, sl, scores, alpha_to=None):
+        m_prev = m_ref[r, sl]  # (G, 1)
+        m_new = jnp.maximum(m_prev, jnp.max(scores, axis=1, keepdims=True))
+        m_ref[r, sl] = m_new
         alpha = jnp.exp(m_prev - m_new)
         p = jnp.exp(scores - m_new)
-        l_ref[r : r + 1, :] = l_ref[r : r + 1, :] * alpha + jnp.sum(
-            p, axis=0, keepdims=True
-        )
-        if p_scale is not None:
-            p = p * p_scale
-        pv = jnp.sum(p[:, :, None] * v, axis=0)
-        acc_ref[r] = acc_ref[r] * alpha[0][:, None] + pv
+        l_ref[r, sl] = l_ref[r, sl] * alpha + jnp.sum(p, axis=1, keepdims=True)
+        return p, alpha
 
-    def body(k_blk, v_blk):
-        i = pl.program_id(0)  # inner pipeline index (scheduler grid_env)
-        if has_scales:
-            # packed int8 blocks: unpack byte streams, scales fold into
-            # scores/probabilities (see the v1 kernel for the layout notes).
-            # Scales are NOT pipelined — their 32-lane minor can't slice
-            # through emit_pipeline; the whole slot's scale rows sit in VMEM
-            # (S/4 x 4 x Hkv, ~hundreds of KB) and each block dynamic-slices
-            # its rows.
-            bw = bs // 4
-            kw = k_blk[...]
-            vw = v_blk[...]
-            if stacked:
-                ks = ks_ref[0, 0, pl.ds(i * bw, bw)].astype(jnp.float32)
-                vs = vs_ref[0, 0, pl.ds(i * bw, bw)].astype(jnp.float32)
-            else:
-                ks = ks_ref[0, pl.ds(i * bw, bw)].astype(jnp.float32)
-                vs = vs_ref[0, pl.ds(i * bw, bw)].astype(jnp.float32)
-            j_iota = jax.lax.broadcasted_iota(jnp.int32, (bw, 4, Hkv), 1)
-            w_iota = jax.lax.broadcasted_iota(jnp.int32, (bw, Hkv), 0)
-            for j in range(4):
-                kj = ((kw << (24 - 8 * j)) >> 24).astype(jnp.float32)
-                vj = ((vw << (24 - 8 * j)) >> 24).astype(jnp.float32)
-                one_j = (j_iota == j).astype(jnp.float32)
-                ksj = jnp.sum(ks * one_j, axis=1)
-                vsj = jnp.sum(vs * one_j, axis=1)
-                live = i * bs + 4 * w_iota + j < length
-                for r in range(rep):
-                    qr = q[:, r, :]
-                    scores = jnp.sum(kj * qr[None, :, :], axis=2) * scale * ksj
-                    scores = jnp.where(live, scores, NEG_INF)
-                    online_update(r, scores, vj, p_scale=vsj)
-            return
-        k = k_blk[...].astype(jnp.float32)  # (bs, Hkv, D)
-        v = v_blk[...].astype(jnp.float32)
-        live = i * bs + jax.lax.broadcasted_iota(jnp.int32, (bs, Hkv), 0) < length
-        for r in range(rep):
-            qr = q[:, r, :]
-            scores = jnp.sum(k * qr[None, :, :], axis=2) * scale
-            scores = jnp.where(live, scores, NEG_INF)
-            online_update(r, scores, v)
+    def body_bf16(k_blk, v_blk):
+        i = pl.program_id(0)
+        live = i * bs + jax.lax.broadcasted_iota(jnp.int32, (G, bs), 1) < length
+        for g in range(n_grp):
+            sl = slice(g * G, (g + 1) * G)
+            k2 = k_blk[sl].reshape(G * bs, D)  # contiguous leading merge
+            v2 = v_blk[sl].reshape(G * bs, D)
+            for r in range(rep):
+                qg = qf[sl, r, :]  # (G, D) bf16
+                sx = jax.lax.dot_general(
+                    qg, k2, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # (G, G*bs)
+                scores = fold_own(sx) * scale
+                scores = jnp.where(live, scores, NEG_INF)
+                p, alpha = update(r, sl, scores)
+                pX = expand_own(p).astype(v2.dtype)
+                pv = jax.lax.dot_general(
+                    pX, v2, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # (G, D)
+                acc_ref[r, sl] = acc_ref[r, sl] * alpha + pv
+
+    def field(wg, j):
+        """Byte stream j of biased words, in place at bit offset 8j (exact in
+        f32; the 2^-8j descale folds into the scale rows).  The top byte uses
+        a logical shift — already descaled AND mask-free."""
+        if j == 3:
+            return jax.lax.shift_right_logical(wg, 24).astype(jnp.float32)
+        return (wg & (255 << (8 * j))).astype(jnp.float32)
+
+    def inv_j(j):
+        return 1.0 if j == 3 else float(2.0 ** (-8 * j))
+
+    def body_int8(k_blk, v_blk, ks_blk, vs_blk):
+        i = pl.program_id(0)
+        # j-concatenated (G, 4*bw) score lanes: l = j*bw + w -> pos i*bs+4w+j
+        l_iota = jax.lax.broadcasted_iota(jnp.int32, (G, 4 * bw), 1)
+        pos = i * bs + 4 * (l_iota % bw) + l_iota // bw
+        live = pos < length
+        for g in range(n_grp):
+            sl = slice(g * G, (g + 1) * G)
+            kg = k_blk[sl]  # (G, bw, D) int32 words
+            vg = v_blk[sl]
+            for r in range(rep):
+                qg = qf[sl, r, :]  # (G, D) f32
+                qs_g = qsum128[sl, r]  # (G, 1)
+                parts = []
+                for j in range(4):
+                    k2 = field(kg, j).reshape(G * bw, D)
+                    sx = jax.lax.dot_general(
+                        qg, k2, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    su = fold_own(sx)  # (G, bw) = sum u·q·2^8j
+                    ksj = ks_blk[j, sl, :].astype(jnp.float32)
+                    parts.append(ksj * (su * inv_j(j) - qs_g) * scale)
+                scores = jnp.concatenate(parts, axis=1)  # (G, 4*bw)
+                scores = jnp.where(live, scores, NEG_INF)
+                p, alpha = update(r, sl, scores)
+                pv = None
+                for j in range(4):
+                    v2 = field(vg, j).reshape(G * bw, D)
+                    vsj = vs_blk[j, sl, :].astype(jnp.float32)
+                    pe = p[:, j * bw : (j + 1) * bw] * vsj  # (G, bw)
+                    pX = expand_own(pe * inv_j(j))
+                    dv = jax.lax.dot_general(
+                        pX, v2, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    dvj = dv - 128.0 * jnp.sum(pe, axis=1, keepdims=True)
+                    pv = dvj if pv is None else pv + dvj
+                acc_ref[r, sl] = acc_ref[r, sl] * alpha + pv
 
     n_live = jnp.maximum((length + bs - 1) // bs, 1)
-    bw = bs // 4  # word rows per block in the packed-int8 layout
-    if paged and stacked:
-        # stacked pool [L, n_pages, psz, Hkv, D]: layer via li_ref, page via
-        # table (mirrors the v1 paged kernel; a rank-4 spec here would read
-        # layer 0 only / fail block-shape checks)
-        kv_spec = pl.BlockSpec(
-            (None, None, bs, Hkv, D),
-            lambda i: (li_ref[0], jnp.maximum(tbl_ref[b * P + i], 0), 0, 0, 0),
-        )
-    elif paged:
-        kv_spec = pl.BlockSpec(
-            (None, bs, Hkv, D),
-            lambda i: (jnp.maximum(tbl_ref[b * P + i], 0), 0, 0, 0),
-        )
-    elif stacked:
-        kv_blk = (None, None, bw, Hkv, D) if has_scales else (None, None, bs, Hkv, D)
-        kv_spec = pl.BlockSpec(kv_blk, lambda i: (li_ref[0], b, i, 0, 0))
+
+    def page_of(i):
+        return jnp.maximum(tbl_ref[b * P + i], 0)
+
+    if has_scales:
+        if paged and stacked:
+            kv_spec = pl.BlockSpec(
+                (None, None, Hkv, bw, D), lambda i: (li_ref[0], page_of(i), 0, 0, 0)
+            )
+            sc_spec = pl.BlockSpec(
+                (None, None, 4, Hkv, bw), lambda i: (li_ref[0], page_of(i), 0, 0, 0)
+            )
+        elif paged:
+            kv_spec = pl.BlockSpec(
+                (None, Hkv, bw, D), lambda i: (page_of(i), 0, 0, 0)
+            )
+            sc_spec = pl.BlockSpec(
+                (None, 4, Hkv, bw), lambda i: (page_of(i), 0, 0, 0)
+            )
+        elif stacked:
+            kv_spec = pl.BlockSpec(
+                (None, None, Hkv, bw, D), lambda i: (li_ref[0], b, 0, i, 0)
+            )
+            sc_spec = pl.BlockSpec(
+                (None, None, 4, Hkv, bw), lambda i: (li_ref[0], b, 0, 0, i)
+            )
+        else:
+            kv_spec = pl.BlockSpec((None, Hkv, bw, D), lambda i: (b, 0, i, 0))
+            sc_spec = pl.BlockSpec((None, 4, Hkv, bw), lambda i: (b, 0, 0, i))
+        pltpu.emit_pipeline(
+            body_int8, grid=(n_live,),
+            in_specs=[kv_spec, kv_spec, sc_spec, sc_spec],
+        )(k_hbm, v_hbm, ks_hbm, vs_hbm)
     else:
-        kv_blk = (None, bw, Hkv, D) if has_scales else (None, bs, Hkv, D)
-        kv_spec = pl.BlockSpec(kv_blk, lambda i: (b, i, 0, 0))
-    pltpu.emit_pipeline(body, grid=(n_live,), in_specs=[kv_spec, kv_spec])(
-        k_hbm, v_hbm
-    )
+        if paged and stacked:
+            kv_spec = pl.BlockSpec(
+                (None, None, Hkv, bs, D), lambda i: (li_ref[0], page_of(i), 0, 0, 0)
+            )
+        elif paged:
+            kv_spec = pl.BlockSpec(
+                (None, Hkv, bs, D), lambda i: (page_of(i), 0, 0, 0)
+            )
+        elif stacked:
+            kv_spec = pl.BlockSpec(
+                (None, None, Hkv, bs, D), lambda i: (li_ref[0], b, 0, i, 0)
+            )
+        else:
+            kv_spec = pl.BlockSpec((None, Hkv, bs, D), lambda i: (b, 0, i, 0))
+        pltpu.emit_pipeline(body_bf16, grid=(n_live,), in_specs=[kv_spec, kv_spec])(
+            k_hbm, v_hbm
+        )
 
     for r in range(rep):
-        denom = jnp.maximum(l_ref[r], 1e-30)[:, None]
+        denom = jnp.maximum(l_ref[r], 1e-30)
         out = (acc_ref[r] / denom).astype(o_ref.dtype)
         # n_live clamps to 1 even for length == 0, which would average one
         # block of garbage rows (all scores NEG_INF -> p = 1); match the v1
@@ -273,20 +368,6 @@ def _decode_attention_v2(q4, k, v, lengths, bs, rep, Hkv, D,
         n_prefetch += 1
     q_index = (lambda b, *_: (b, 0, 0, 0))
     operands = [q4, k, v] + ([k_scale, v_scale] if has_scales else [])
-    # scale arrays ride as whole-slot VMEM blocks (their 32-lane minor can't
-    # slice through emit_pipeline); the kernel dynamic-slices rows per block
-    if has_scales:
-        Sw = k.shape[-3]
-        if stacked:
-            sc_spec = pl.BlockSpec(
-                (1, 1, Sw, 4, Hkv), lambda b, *p: (p[-1][0], b, 0, 0, 0),
-                memory_space=pltpu.VMEM,
-            )
-        else:
-            sc_spec = pl.BlockSpec(
-                (1, Sw, 4, Hkv), lambda b, *p: (b, 0, 0, 0),
-                memory_space=pltpu.VMEM,
-            )
     out = pl.pallas_call(
         functools.partial(
             _kernel_v2, bs, rep, Hkv, D, D ** -0.5, stacked, paged, P,
@@ -296,15 +377,13 @@ def _decode_attention_v2(q4, k, v, lengths, bs, rep, Hkv, D,
             num_scalar_prefetch=n_prefetch,
             grid=(B,),
             in_specs=[pl.BlockSpec((1, Hkv, rep, D), q_index,
-                                   memory_space=pltpu.VMEM),
-                      pl.BlockSpec(memory_space=pl.ANY),
-                      pl.BlockSpec(memory_space=pl.ANY)]
-            + ([sc_spec, sc_spec] if has_scales else []),
+                                   memory_space=pltpu.VMEM)]
+            + [pl.BlockSpec(memory_space=pl.ANY)] * (len(operands) - 1),
             out_specs=pl.BlockSpec((1, Hkv, rep, D), q_index,
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[
-                pltpu.VMEM((rep, Hkv), jnp.float32),
-                pltpu.VMEM((rep, Hkv), jnp.float32),
+                pltpu.VMEM((rep, Hkv, 1), jnp.float32),
+                pltpu.VMEM((rep, Hkv, 1), jnp.float32),
                 pltpu.VMEM((rep, Hkv, D), jnp.float32),
             ],
         ),
@@ -319,29 +398,30 @@ def _decode_attention_v2(q4, k, v, lengths, bs, rep, Hkv, D,
 @functools.partial(jax.jit, static_argnames=("block_s", "interpret"))
 def decode_attention(
     q: jax.Array,  # [B, H, D]
-    k: jax.Array,  # [B, S, Hkv, D]  (or [L, B, S, Hkv, D] with layer_idx)
+    k: jax.Array,  # [B, Hkv, S, D]  (or [L, B, Hkv, S, D] with layer_idx)
     v: jax.Array,  # like k
     lengths: jax.Array,  # int32 [B] — live positions per slot (attend s < len)
-    block_s: int = 256,
+    block_s: Optional[int] = None,
     interpret: Optional[bool] = None,
     layer_idx: Optional[jax.Array] = None,
-    k_scale: Optional[jax.Array] = None,  # [(L,) B, S/4, 4, Hkv]: int8 cache
+    k_scale: Optional[jax.Array] = None,  # [(L,) B, 4, Hkv, S/4]: int8 cache
     v_scale: Optional[jax.Array] = None,
     page_table: Optional[jax.Array] = None,  # int32 [B, P]: paged pool cache
 ) -> jax.Array:
     """Softmax(q k^T / sqrt(D)) v over each slot's first ``lengths[b]`` cache
     positions; returns [B, H, D].  HBM reads scale with ``lengths``, not S.
 
-    With ``k_scale``/``v_scale`` the cache is the lane-major packed int8
-    layout (``models.llama.KVCache`` quantized: int32 words of 4 consecutive
-    positions along S) and blocks dequantize in-register — half the DMA bytes
-    of the bf16 cache.
+    With ``k_scale``/``v_scale`` the cache is the biased packed int8 layout
+    (``models.llama.KVCache`` quantized: words [.., Hkv, S/4, D], byte j of
+    word w = position 4w+j stored as value+128) and blocks dequantize
+    in-register — half the DMA bytes of the bf16 cache.
 
     With ``page_table`` the k/v operands are page POOLS
-    ``[(L,) n_pages, page_size, Hkv, D]`` and grid step ``s`` of slot ``b``
+    ``[(L,) n_pages, Hkv, psz(/4), D]`` and grid step ``s`` of slot ``b``
     streams pool page ``page_table[b, s]`` — the indirection lives entirely
-    in the scalar-prefetch-driven index maps, so the kernel body is the
-    dense-cache body unchanged and HBM traffic stays ~ live lengths."""
+    in the scalar-prefetch-driven index maps.  Composes with the int8 cache
+    (scale pools ``[(L,) n_pages, 4, Hkv, psz/4]``).
+    """
     if interpret is None:
         interpret = common.interpret_default()
     stacked = layer_idx is not None
@@ -349,27 +429,32 @@ def decode_attention(
     paged = page_table is not None
     B, H, D = q.shape
     pack = 4 if has_scales else 1
-    Hkv = k.shape[-2]
+    Hkv = k.shape[-3]
     if paged:
-        assert not has_scales, "paged + int8 cache not combined yet"
-        psz = k.shape[-3]
+        psz = k.shape[-2] * pack
         P = page_table.shape[1]
         S = P * psz
-        bs, n_blocks, bw = psz, P, psz
+        bs = psz
+        n_blocks = P
     else:
-        S = k.shape[-3] * pack
-        bs = min(block_s, S)  # positions per block (a multiple of `pack`)
+        S = k.shape[-2] * pack
+        # default block: 512 positions for packed words (2 MB/block), 256 for
+        # bf16 (4 MB/block — 512 would blow the 16 MB scoped VMEM at MHA)
+        bs = min(block_s or (512 if has_scales else 256), S)
         n_blocks = common.cdiv(S, bs)
-        bw = bs // pack  # word rows per block
     assert H % Hkv == 0
     rep = H // Hkv
     # query head h*rep+r shares kv head h (jnp.repeat convention)
     q4 = q.reshape(B, Hkv, rep, D)
+    bw = bs // pack  # word rows per block (int8)
 
     # real-TPU fast path: one program per slot, inner dynamic-grid pipeline
-    # over its live blocks (emit_pipeline has no interpreter support; paged +
-    # int8 stays un-combined as in v1)
-    if not interpret and S % bs == 0 and not (paged and has_scales):
+    # over its live blocks (emit_pipeline has no interpreter support).
+    # Paged int8 needs 128-word-aligned pages (page_size % 512) for the
+    # pipelined scale slices; smaller pages take the v1 grid kernel.
+    if not interpret and S % bs == 0 and not (
+        has_scales and paged and bw % 128
+    ):
         out = _decode_attention_v2(
             q4, k, v, lengths, bs, rep, Hkv, D, layer_idx, page_table,
             k_scale=k_scale, v_scale=v_scale,
@@ -382,121 +467,61 @@ def decode_attention(
         last = jnp.maximum(lens[b] - 1, 0) // bs
         return jnp.minimum(s, last)
 
+    args = [lengths.astype(jnp.int32)]
+    n_prefetch = 1
     if paged:
-        def page_of(s, lens, tbl, b):
-            # pool page for this grid step (clamped like `clamp`; unallocated
-            # entries only reach here for length-0 slots, whose programs skip
-            # all compute — max() keeps the DMA address valid)
-            return jnp.maximum(tbl[b * P + clamp(s, lens, b)], 0)
-
-        if stacked:
-            q_spec = pl.BlockSpec(
-                (1, Hkv, rep, D), lambda b, s, lens, tbl, li: (b, 0, 0, 0),
-                memory_space=pltpu.VMEM,
-            )
-            kv_spec = pl.BlockSpec(
-                (1, 1, bs, Hkv, D),
-                lambda b, s, lens, tbl, li: (li[0], page_of(s, lens, tbl, b), 0, 0, 0),
-                memory_space=pltpu.VMEM,
-            )
-            o_spec = pl.BlockSpec(
-                (1, Hkv, rep, D), lambda b, s, lens, tbl, li: (b, 0, 0, 0),
-                memory_space=pltpu.VMEM,
-            )
-            n_prefetch = 3
-            args = [lengths.astype(jnp.int32),
-                    page_table.astype(jnp.int32).reshape(-1),
-                    jnp.asarray(layer_idx, jnp.int32).reshape(1), q4, k, v]
-        else:
-            q_spec = pl.BlockSpec(
-                (1, Hkv, rep, D), lambda b, s, lens, tbl: (b, 0, 0, 0),
-                memory_space=pltpu.VMEM,
-            )
-            kv_spec = pl.BlockSpec(
-                (1, bs, Hkv, D),
-                lambda b, s, lens, tbl: (page_of(s, lens, tbl, b), 0, 0, 0),
-                memory_space=pltpu.VMEM,
-            )
-            o_spec = pl.BlockSpec(
-                (1, Hkv, rep, D), lambda b, s, lens, tbl: (b, 0, 0, 0),
-                memory_space=pltpu.VMEM,
-            )
-            n_prefetch = 2
-            args = [lengths.astype(jnp.int32),
-                    page_table.astype(jnp.int32).reshape(-1), q4, k, v]
-        out = pl.pallas_call(
-            functools.partial(
-                _kernel, bs, rep, Hkv, D, D ** -0.5, stacked, False, True
-            ),
-            grid_spec=pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=n_prefetch,
-                grid=(B, n_blocks),
-                in_specs=[q_spec, kv_spec, kv_spec],
-                out_specs=o_spec,
-                scratch_shapes=[
-                    pltpu.VMEM((rep, Hkv), jnp.float32),
-                    pltpu.VMEM((rep, Hkv), jnp.float32),
-                    pltpu.VMEM((rep, Hkv, D), jnp.float32),
-                ],
-            ),
-            out_shape=jax.ShapeDtypeStruct((B, Hkv, rep, D), q.dtype),
-            compiler_params=pltpu.CompilerParams(
-                dimension_semantics=("parallel", "arbitrary"),
-            ),
-            interpret=interpret,
-        )(*args)
-        return out.reshape(B, H, D)
-
+        args.append(page_table.astype(jnp.int32).reshape(-1))
+        n_prefetch += 1
     if stacked:
-        q_spec = pl.BlockSpec(
-            (1, Hkv, rep, D), lambda b, s, lens, li: (b, 0, 0, 0),
-            memory_space=pltpu.VMEM,
-        )
-        kv_spec = pl.BlockSpec(
-            (1, 1, bw, Hkv, D),
-            lambda b, s, lens, li: (li[0], b, clamp(s, lens, b), 0, 0),
-            memory_space=pltpu.VMEM,
-        )
-        sc_spec = pl.BlockSpec(
-            (1, 1, bw, 4, Hkv),
-            lambda b, s, lens, li: (li[0], b, clamp(s, lens, b), 0, 0),
-            memory_space=pltpu.VMEM,
-        )
-        o_spec = pl.BlockSpec(
-            (1, Hkv, rep, D), lambda b, s, lens, li: (b, 0, 0, 0),
-            memory_space=pltpu.VMEM,
-        )
-        n_prefetch = 2
-        args = [lengths.astype(jnp.int32),
-                jnp.asarray(layer_idx, jnp.int32).reshape(1), q4, k, v]
-    else:
-        q_spec = pl.BlockSpec(
-            (1, Hkv, rep, D), lambda b, s, lens: (b, 0, 0, 0),
-            memory_space=pltpu.VMEM,
-        )
-        kv_spec = pl.BlockSpec(
-            (1, bw, Hkv, D), lambda b, s, lens: (b, clamp(s, lens, b), 0, 0),
-            memory_space=pltpu.VMEM,
-        )
-        sc_spec = pl.BlockSpec(
-            (1, bw, 4, Hkv), lambda b, s, lens: (b, clamp(s, lens, b), 0, 0),
-            memory_space=pltpu.VMEM,
-        )
-        o_spec = pl.BlockSpec(
-            (1, Hkv, rep, D), lambda b, s, lens: (b, 0, 0, 0),
-            memory_space=pltpu.VMEM,
-        )
-        n_prefetch = 1
-        args = [lengths.astype(jnp.int32), q4, k, v]
+        args.append(jnp.asarray(layer_idx, jnp.int32).reshape(1))
+        n_prefetch += 1
+
+    def kv_index(b, s, lens, *rest):
+        if paged:
+            tbl = rest[0]
+            # clamped like `clamp`; unallocated entries only reach here for
+            # length-0 slots whose programs skip compute — max() keeps the
+            # DMA address valid
+            pg = jnp.maximum(tbl[b * P + clamp(s, lens, b)], 0)
+            idx = (pg, 0, 0, 0)
+        else:
+            idx = (b, 0, clamp(s, lens, b), 0)
+        if stacked:
+            li = rest[-1]
+            idx = (li[0],) + idx
+        return idx
+
+    def sc_index(b, s, lens, *rest):
+        if paged:
+            tbl = rest[0]
+            pg = jnp.maximum(tbl[b * P + clamp(s, lens, b)], 0)
+            idx = (pg, 0, 0, 0)
+        else:
+            idx = (b, 0, 0, clamp(s, lens, b))
+        if stacked:
+            idx = (rest[-1][0],) + idx
+        return idx
+
+    def io_index(b, s, lens, *rest):
+        return (b, 0, 0, 0)
+
+    lead = (None, None) if stacked else (None,)
+    kv_spec = pl.BlockSpec(lead + (Hkv, bw, D), kv_index,
+                           memory_space=pltpu.VMEM)
+    sc_spec = pl.BlockSpec(lead + (4, Hkv, bw), sc_index,
+                           memory_space=pltpu.VMEM)
+    q_spec = pl.BlockSpec((1, Hkv, rep, D), io_index, memory_space=pltpu.VMEM)
+    o_spec = pl.BlockSpec((1, Hkv, rep, D), io_index, memory_space=pltpu.VMEM)
 
     in_specs = [q_spec, kv_spec, kv_spec]
+    call_args = args + [q4, k, v]
     if has_scales:
         in_specs += [sc_spec, sc_spec]
-        args += [k_scale, v_scale]
+        call_args += [k_scale, v_scale]
 
     out = pl.pallas_call(
         functools.partial(
-            _kernel, bs, rep, Hkv, D, D ** -0.5, stacked, has_scales, False
+            _kernel, bs, rep, Hkv, D, D ** -0.5, stacked, has_scales, paged
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=n_prefetch,
@@ -504,8 +529,8 @@ def decode_attention(
             in_specs=in_specs,
             out_specs=o_spec,
             scratch_shapes=[
-                pltpu.VMEM((rep, Hkv), jnp.float32),  # running max
-                pltpu.VMEM((rep, Hkv), jnp.float32),  # running denom
+                pltpu.VMEM((rep, Hkv, 1), jnp.float32),  # running max
+                pltpu.VMEM((rep, Hkv, 1), jnp.float32),  # running denom
                 pltpu.VMEM((rep, Hkv, D), jnp.float32),  # output accumulator
             ],
         ),
@@ -514,5 +539,5 @@ def decode_attention(
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(*args)
+    )(*call_args)
     return out.reshape(B, H, D)

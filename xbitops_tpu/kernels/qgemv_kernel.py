@@ -126,9 +126,20 @@ def _kernel_a8(plane_bits, tile_k, gt, cs, stacked, *refs):
     applies ``a_scale`` to this kernel's f32 output, so everything in here is
     exact integer arithmetic until the per-group rescale:
         out = sum_g s_g * (aq_g @ wq_g) - (sum aq_g) * sz_g
+    The per-group VPU work is what decides whether the int8 MXU rate pays
+    (measured round 2: ~1.0x with a 4-lane-op rescale per output per group),
+    so both per-group terms are restructured off the VPU hot path (round 3):
+
+    - the zero term is ONE small MXU dot per K-tile: group sums
+      ``asum (tm, gt) = a @ group_onehot`` (s8 MXU dot, exact) hit the
+      ``sz`` rows as ``asum @ szb`` — per-group VPU cost ZERO;
+    - the scale term keeps the integer partials in s32 through the plane
+      combination (shifts, not f32 muls) and folds with a single
+      convert+multiply+add per group (fma-able) into the f32 accumulator.
+
     An 8-bit plane's values (0..255) don't fit s8: they are offset by -128
-    before the dot and the exact ``128 * asum`` correction is added back —
-    the same trick as the zero-point term, and still exact (s32 dot).
+    before the dot and the exact ``128 * asum`` correction folds into the
+    zero-term dot (``szb - 128 s``), still costing nothing per group.
 
     No reference counterpart (the reference is fp16-activation only); this is
     the BASELINE.md north-star prefill path, where matmuls are MXU-bound and
@@ -156,11 +167,25 @@ def _kernel_a8(plane_bits, tile_k, gt, cs, stacked, *refs):
             jnp.float32
         )
 
+    def s_blk(ref):
+        # all (padded) scale rows of this K-tile: (gt_pad, tn) f32; padded
+        # rows are harmless — their asum columns are zero by construction
+        return (ref[0, 0] if stacked else ref[0]).astype(jnp.float32)
+
+    gt_pad = s_ref.shape[-2]
+    # per-group activation sums via one MXU dot (exact s32): group-onehot
+    # columns beyond gt stay all-zero so padded scale rows contribute nothing
+    gmask = (
+        jax.lax.broadcasted_iota(jnp.int32, (tile_k, gt_pad), 0) // g_tile
+        == jax.lax.broadcasted_iota(jnp.int32, (tile_k, gt_pad), 1)
+    ).astype(jnp.int8)
+    asum_g = jax.lax.dot_general(
+        a, gmask, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    ).astype(jnp.float32)  # (tm, gt_pad); |asum| <= 127*g_tile: f32-exact
+
     total = jnp.zeros_like(acc_ref)
     for c in range(tile_k // cs):
         a_c = a[:, c * cs : (c + 1) * cs]
-        asum_i = jnp.sum(a_c.astype(jnp.int32), axis=1, keepdims=True)
-        asum = asum_i.astype(jnp.float32)
         d = None
         shift = 0
         for blk, pb in zip(blocks, plane_bits):
@@ -169,14 +194,22 @@ def _kernel_a8(plane_bits, tile_k, gt, cs, stacked, *refs):
             dp = jax.lax.dot_general(
                 a_c, v8, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32,
-            ).astype(jnp.float32)
-            if pb == 8:
-                dp = dp + 128.0 * asum
-            dp = dp if shift == 0 else float(1 << shift) * dp
+            )
+            dp = dp if shift == 0 else (dp << shift)
             d = dp if d is None else d + dp
             shift += pb
         gi = (c * cs) // g_tile
-        total = total + d * s_row(s_ref, gi) - asum * s_row(sz_ref, gi)
+        total = total + d.astype(jnp.float32) * s_row(s_ref, gi)
+    szb = s_blk(sz_ref)
+    if plane_bits == (8,):  # fold the 8-bit plane's -128 offset correction
+        szb = szb - 128.0 * s_blk(s_ref)
+    # zero term: one (tm, gt_pad) x (gt_pad, tn) dot; HIGHEST because asum
+    # needs more than bf16's 8 mantissa bits (values up to 127*g_tile)
+    total = total - jax.lax.dot_general(
+        asum_g, szb, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
     acc_ref[...] += total
 
     @pl.when(k == pl.num_programs(2) - 1)

@@ -198,32 +198,38 @@ def init_params(
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class KVCache:
-    """Static-shape cache ``[L, B, S_max, n_kv, head_dim]`` with per-slot lengths.
+    """Static-shape HEAD-MAJOR cache ``[L, B, n_kv, S_max, head_dim]`` with
+    per-slot lengths.
 
-    With ``quantized=True`` at init, k/v store int8 values **lane-major
-    packed**: four consecutive sequence positions per int32 word, shape
-    ``[L, B, S/4, n_kv, head_dim]`` (byte j of word w = position 4w+j), with
-    per-(position, head) absmax scales ``[L, B, S/4, 4, n_kv]`` — TWICE the
-    context capacity per HBM byte at near-lossless accuracy.  The packing
-    direction is the fix for round-1's failed variants: int8 (or
-    packed-along-head) arrays left 32-lane minor dims and forced Mosaic
-    relayout copies at every custom call; packing along S keeps the 128-lane
-    head_dim minor and all arrays int32, so cache blocks stream into the
-    decode-attention kernel in their native layout and unpack with three VPU
-    ops per value (shift-left, arithmetic-shift-right sign extension, scale).
+    Head-major (round-3 redesign) is what lets the flash-decode kernel use
+    the MXU: a head-group's keys flatten to a contiguous ``(G*bs, D)`` matrix
+    inside the kernel, so scores and p·v become MXU dots instead of VPU
+    mult+reduce chains (kernels/decode_attention.py).
+
+    With ``quantized=True`` at init, k/v store int8 values packed four
+    consecutive sequence positions per int32 word, ``[L, B, n_kv, S/4,
+    head_dim]`` (byte j of word w = position 4w+j), bytes BIASED by +128
+    (u = v+128 ∈ [1, 255]; one-op isolation in the kernel, the bias folds
+    into per-head corrections), with per-(position, head) absmax scales
+    ``[L, B, 4, n_kv, S/4]`` — TWICE the context capacity per HBM byte at
+    near-lossless accuracy.  The scale layout keeps S/4 minor: HBM-exact
+    (the round-2 ``[.., S/4, 4, n_kv]`` layout padded 4× under T(4,128)
+    tiling and cost ~1.2 ms/step of XLA layout copies at 7B), and scale
+    blocks stream through the kernel pipeline like the data.
     """
 
     k: jax.Array
     v: jax.Array
     lengths: jax.Array  # int32 [B]
-    k_scale: Optional[jax.Array] = None  # bf16 [L, B, S/4, 4, n_kv] (int8 cache)
+    k_scale: Optional[jax.Array] = None  # bf16 [L, B, 4, n_kv, S/4] (int8 cache)
     v_scale: Optional[jax.Array] = None
-    # Paged mode: k/v are page POOLS [L, n_pages, page_size, n_kv, head_dim]
+    # Paged mode: k/v are page POOLS [L, n_pages, n_kv, page_size(/4), D]
     # shared by all slots, and `page_table` int32 [B, P] maps each slot's
     # virtual page p to a pool page (-1 = unallocated).  Slots stop paying
     # S_max HBM each — the engine's allocator hands pages out on demand, so a
     # pool sized for the expected TOTAL context serves mixed long/short
-    # batches that would not fit dense per-slot allocations.
+    # batches that would not fit dense per-slot allocations.  Composes with
+    # the int8 cache (scale pools [L, n_pages, 4, n_kv, page_size/4]).
     page_table: Optional[jax.Array] = None
 
     @property
@@ -237,14 +243,14 @@ class KVCache:
     @property
     def page_size(self) -> int:
         assert self.paged
-        return self.k.shape[2]
+        return self.k.shape[3] * (4 if self.quantized else 1)
 
     @property
     def S(self) -> int:
         """Per-slot capacity in positions (virtual for a paged cache)."""
         if self.paged:
-            return self.page_table.shape[1] * self.k.shape[2]
-        return self.k.shape[2] * (4 if self.quantized else 1)
+            return self.page_table.shape[1] * self.page_size
+        return self.k.shape[3] * (4 if self.quantized else 1)
 
     def tree_flatten(self):
         return (
@@ -260,19 +266,22 @@ class KVCache:
     def init(
         cfg: LlamaConfig, batch: int, dtype=jnp.bfloat16, quantized: bool = False
     ) -> "KVCache":
-        shape = (cfg.num_layers, batch, cfg.max_seq_len, cfg.num_kv_heads, cfg.head_dim)
+        L, Hkv, D, S = (
+            cfg.num_layers, cfg.num_kv_heads, cfg.head_dim, cfg.max_seq_len
+        )
         if quantized:
-            if cfg.max_seq_len % 4:
+            if S % 4:
                 raise ValueError("int8 KV cache needs max_seq_len % 4 == 0")
-            wshape = (shape[0], batch, cfg.max_seq_len // 4, *shape[3:])
+            wshape = (L, batch, Hkv, S // 4, D)
             return KVCache(
                 k=jnp.zeros(wshape, jnp.int32), v=jnp.zeros(wshape, jnp.int32),
                 lengths=jnp.zeros((batch,), jnp.int32),
-                k_scale=jnp.zeros((*wshape[:3], 4, cfg.num_kv_heads), jnp.bfloat16),
-                v_scale=jnp.zeros((*wshape[:3], 4, cfg.num_kv_heads), jnp.bfloat16),
+                k_scale=jnp.zeros((L, batch, 4, Hkv, S // 4), jnp.bfloat16),
+                v_scale=jnp.zeros((L, batch, 4, Hkv, S // 4), jnp.bfloat16),
             )
         return KVCache(
-            k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype),
+            k=jnp.zeros((L, batch, Hkv, S, D), dtype),
+            v=jnp.zeros((L, batch, Hkv, S, D), dtype),
             lengths=jnp.zeros((batch,), jnp.int32),
         )
 
@@ -283,6 +292,7 @@ class KVCache:
         pool_pages: int,
         page_size: int = 256,
         dtype=jnp.bfloat16,
+        quantized: bool = False,
     ) -> "KVCache":
         """Paged cache: a shared pool of ``pool_pages`` pages of ``page_size``
         positions each (HBM cost ~ pool size, not slots * S_max) plus an
@@ -290,12 +300,29 @@ class KVCache:
         block so one grid step maps to one page."""
         if cfg.max_seq_len % page_size:
             raise ValueError("max_seq_len must be a multiple of page_size")
+        L, Hkv, D = cfg.num_layers, cfg.num_kv_heads, cfg.head_dim
         P = cfg.max_seq_len // page_size
-        pool = (cfg.num_layers, pool_pages, page_size, cfg.num_kv_heads, cfg.head_dim)
+        table = jnp.full((batch, P), -1, jnp.int32)
+        if quantized:
+            if page_size % 4:
+                raise ValueError("int8 paged cache needs page_size % 4 == 0")
+            pool = (L, pool_pages, Hkv, page_size // 4, D)
+            return KVCache(
+                k=jnp.zeros(pool, jnp.int32), v=jnp.zeros(pool, jnp.int32),
+                lengths=jnp.zeros((batch,), jnp.int32),
+                k_scale=jnp.zeros(
+                    (L, pool_pages, 4, Hkv, page_size // 4), jnp.bfloat16
+                ),
+                v_scale=jnp.zeros(
+                    (L, pool_pages, 4, Hkv, page_size // 4), jnp.bfloat16
+                ),
+                page_table=table,
+            )
+        pool = (L, pool_pages, Hkv, page_size, D)
         return KVCache(
             k=jnp.zeros(pool, dtype), v=jnp.zeros(pool, dtype),
             lengths=jnp.zeros((batch,), jnp.int32),
-            page_table=jnp.full((batch, P), -1, jnp.int32),
+            page_table=table,
         )
 
 
@@ -401,18 +428,22 @@ def _rope(
     ).astype(x.dtype)
 
 
-def _attention(q, k, v, mask, scale):
-    """q: [B, Tq, H, D]; k/v: [B, Tk, Hkv, D]; mask: [B, Tq, Tk] bool."""
+def _attention(q, kT, vT, mask, scale):
+    """q: [B, Tq, H, D]; kT/vT: HEAD-MAJOR [B, Hkv, Tk, D]; mask: [B, Tq, Tk]
+    bool.  (The cache is stored head-major; fresh per-block k/v transpose
+    their small [B, T, Hkv, D] projections before calling — O(B·T·h) only.)"""
     B, Tq, H, D = q.shape
-    Hkv = k.shape[2]
+    Hkv = kT.shape[1]
     rep = H // Hkv
     if rep > 1:
-        k = jnp.repeat(k, rep, axis=2)
-        v = jnp.repeat(v, rep, axis=2)
-    logits = jnp.einsum("bqhd,bkhd->bhqk", q.astype(jnp.float32), k.astype(jnp.float32))
+        kT = jnp.repeat(kT, rep, axis=1)
+        vT = jnp.repeat(vT, rep, axis=1)
+    logits = jnp.einsum(
+        "bqhd,bhkd->bhqk", q.astype(jnp.float32), kT.astype(jnp.float32)
+    )
     logits = logits * scale + jnp.where(mask[:, None], 0.0, -1e30)
     p = jax.nn.softmax(logits, axis=-1)
-    out = jnp.einsum("bhqk,bkhd->bqhd", p, v.astype(jnp.float32))
+    out = jnp.einsum("bhqk,bhkd->bqhd", p, vT.astype(jnp.float32))
     return out.astype(q.dtype)
 
 
@@ -430,29 +461,65 @@ def _interpret_mode() -> bool:
 
 def _quant_kv(x):
     """Per-(token, head) absmax int8 quantization of a [B, T, H, D] tensor.
-    Values return as int32 (byte range) ready for word packing."""
+    Values return BIASED (+128, range 1..255) as int32 — the storage
+    convention the kernels isolate with one op per byte."""
     xf = x.astype(jnp.float32)
     s = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1), 1e-8) / 127.0
     q = jnp.clip(jnp.round(xf / s[..., None]), -127, 127).astype(jnp.int32)
-    return q, s
+    return q + 128, s
 
 
 def _pack_kv_words(q):
-    """[B, T, H, D] int8-range ints -> [B, T/4, H, D] packed words (byte j of
-    word w = position 4w+j)."""
+    """[B, T, H, D] biased byte values -> head-major words [B, H, T/4, D]
+    (byte j of word w = position 4w+j)."""
     B, T, H, D = q.shape
-    qb = (q & 255).reshape(B, T // 4, 4, H, D)
-    return qb[:, :, 0] | (qb[:, :, 1] << 8) | (qb[:, :, 2] << 16) | (qb[:, :, 3] << 24)
+    qT = jnp.swapaxes(q & 255, 1, 2)  # (B, H, T, D)
+    qb = qT.reshape(B, H, T // 4, 4, D)
+    return (
+        qb[..., 0, :] | (qb[..., 1, :] << 8)
+        | (qb[..., 2, :] << 16) | (qb[..., 3, :] << 24)
+    )
+
+
+def _pack_kv_scales(s):
+    """[B, T, H] per-position scales -> [B, 4, H, T/4] (sc[b, j, h, w] =
+    s[b, 4w+j, h]; S/4-minor layout is HBM-exact, see KVCache)."""
+    B, T, H = s.shape
+    sb = s.reshape(B, T // 4, 4, H)  # [b, w, j, h]
+    return jnp.transpose(sb, (0, 2, 3, 1))
 
 
 def _unpack_kv_words(words, scales):
-    """[..., W, H, D] packed words + [..., W, 4, H] scales -> dequantized
-    [..., 4W, H, D] f32 (XLA fallback path; the decode kernel unpacks
-    blocks in-register instead)."""
-    parts = [((words << (24 - 8 * j)) >> 24) for j in range(4)]  # sign-extend
-    q = jnp.stack(parts, axis=-3)  # [..., W, 4, H, D]
-    deq = q.astype(jnp.float32) * scales.astype(jnp.float32)[..., None]
-    return deq.reshape(*words.shape[:-3], -1, *words.shape[-2:])
+    """[..., H, W, D] packed biased words + [..., 4, H, W] scales ->
+    dequantized head-major [..., H, 4W, D] f32 (XLA fallback path; the
+    decode kernel unpacks blocks in-register instead)."""
+    parts = [
+        ((jax.lax.shift_right_logical(words, 8 * j) & 255) - 128)
+        for j in range(4)
+    ]
+    q = jnp.stack(parts, axis=-2)  # [..., H, W, 4, D]
+    sc = jnp.moveaxis(scales, -3, -1)  # [..., H, W, 4]
+    deq = q.astype(jnp.float32) * sc.astype(jnp.float32)[..., None]
+    return deq.reshape(*words.shape[:-2], -1, words.shape[-1])
+
+
+def _paged_word(page_table, b_rows, pos, pool):
+    """Map virtual positions (B,) or (B, W) to (pool page, word-in-page) for
+    the packed int8 paged pool ``[L, n_pages, Hkv, psz/4, D]``.  Unallocated
+    (-1) / past-capacity positions return a POSITIVE out-of-range page so
+    ``mode="drop"`` discards them (negative indices would wrap)."""
+    psz = pool.shape[3] * 4
+    P = page_table.shape[1]
+    n_pages = pool.shape[1]
+    tbl_rows = page_table[b_rows]  # (B, P)
+    pos2 = pos if pos.ndim == 2 else pos[:, None]
+    pageidx = pos2 // psz
+    page = jnp.take_along_axis(tbl_rows, jnp.minimum(pageidx, P - 1), axis=1)
+    page = jnp.where((pageidx < P) & (page >= 0), page, n_pages)
+    wip = (pos2 % psz) // 4
+    if pos.ndim == 1:
+        return page[:, 0], wip[:, 0]
+    return page, wip
 
 
 def _block(
@@ -462,11 +529,11 @@ def _block(
     """One transformer block on [B, T, h_local-agnostic].
 
     ``kv = (k_all, v_all, k_scale_all, v_scale_all)`` are the FULL stacked
-    caches ``[L, B, S, Hkv, D]`` (scales ``[L, B, S, Hkv]`` or None for an
-    unquantized cache); new k/v scatter directly into layer ``li`` of them (a
-    sparse in-place update on the loop-carried buffers — never a per-layer
-    slice + restack, which would double cache memory and rewrite it every
-    step).
+    head-major caches ``[L, B, Hkv, S, D]`` (see :class:`KVCache` for the
+    packed int8 / paged shapes); new k/v scatter directly into layer ``li``
+    of them (a sparse in-place update on the loop-carried buffers — never a
+    per-layer slice + restack, which would double cache memory and rewrite
+    it every step).
 
     ``slot_ids`` maps x's batch rows to cache slots (default: identity).  With
     ``self_attend`` the attention context is the block's own k/v (a fresh
@@ -499,12 +566,18 @@ def _block(
     # Scatter new k/v into the cache at each slot's position.  JAX drops
     # out-of-bounds scatter updates, so positions >= S (padding / inactive
     # slots) write nothing — the engine relies on this for ragged batches.
+    # Cache arrays are HEAD-MAJOR ([L, B(, 4), Hkv, S(/4), D-ish]); fresh
+    # k/v transpose their small [B, T, Hkv, D] projections at write time.
     k_all, v_all, ks_all, vs_all = kv
-    b_idx = (slot_ids if slot_ids is not None else jnp.arange(B))[:, None]
-    if ks_all is not None:  # int8 cache, lane-major packed (4 positions/word)
-        kq, ks = _quant_kv(k)
+    paged = page_table is not None
+    b_rows = slot_ids if slot_ids is not None else jnp.arange(B)
+    Hkv_l = k.shape[2]
+    h_idx = jnp.arange(Hkv_l)[None, :, None]  # (1, Hkv, 1)
+    b_idx3 = b_rows[:, None, None]  # (B, 1, 1)
+    if ks_all is not None:  # int8 cache, packed words + biased bytes
+        kq, ks = _quant_kv(k)  # kq (B, T, Hkv, D) biased; ks (B, T, Hkv)
         vq, vs = _quant_kv(v)
-        if T == 1 and slot_ids is None and (
+        if T == 1 and slot_ids is None and not paged and (
             not _interpret_mode() or FORCE_FUSED_KV_APPEND
         ):
             # decode on real TPU: ONE aliased Pallas call replaces the 6
@@ -518,68 +591,119 @@ def _block(
                 positions[:, 0], li,
             )
         elif T == 1 or kv_unaligned:
-            # decode / unaligned small writes (speculative verify starts at an
-            # arbitrary length): read-modify-write one byte per position.
-            # T is static and small — the loop unrolls.
+            # decode / unaligned small writes (speculative verify starts at
+            # an arbitrary length): read-modify-write one byte per position.
+            # T is static and small — the loop unrolls.  Works against paged
+            # pools too (the page lookup replaces the slot index).
             for t in range(T):
-                pos_t = positions[:, t : t + 1]
-                w_idx = pos_t // 4  # (B, 1); OOB (pad) words drop
-                byte = pos_t % 4
-                sh = (byte * 8)[..., None, None]  # (B, 1, 1, 1)
+                pos_t = positions[:, t]  # (B,)
+                if paged:
+                    tgt_b, w_col = _paged_word(
+                        page_table, b_rows, pos_t, k_all
+                    )
+                else:
+                    Sw = k_all.shape[3]
+                    tgt_b = jnp.where(pos_t < Sw * 4, b_rows, k_all.shape[1])
+                    w_col = pos_t // 4
+                byte = (pos_t % 4)[:, None, None]  # (B, 1, 1)
+                sh = (byte * 8)[..., None]  # (B, 1, 1, 1)
                 keep = ~(255 << sh)
-                kq_t, vq_t = kq[:, t : t + 1], vq[:, t : t + 1]
-                oldk = k_all.at[li, b_idx, w_idx].get(mode="fill", fill_value=0)
-                oldv = v_all.at[li, b_idx, w_idx].get(mode="fill", fill_value=0)
-                k_all = k_all.at[li, b_idx, w_idx].set(
+                t_idx = (li, tgt_b[:, None, None], h_idx, w_col[:, None, None])
+                kq_t = kq[:, t][:, :, None, :]  # (B, Hkv, 1, D)
+                vq_t = vq[:, t][:, :, None, :]
+                oldk = k_all.at[t_idx].get(mode="fill", fill_value=0)
+                oldv = v_all.at[t_idx].get(mode="fill", fill_value=0)
+                k_all = k_all.at[t_idx].set(
                     (oldk & keep) | ((kq_t & 255) << sh), mode="drop"
                 )
-                v_all = v_all.at[li, b_idx, w_idx].set(
+                v_all = v_all.at[t_idx].set(
                     (oldv & keep) | ((vq_t & 255) << sh), mode="drop"
                 )
-                ks_all = ks_all.at[li, b_idx, w_idx, byte].set(
-                    ks[:, t : t + 1].astype(ks_all.dtype), mode="drop"
+                s_idx = (li, tgt_b[:, None, None], byte, h_idx,
+                         w_col[:, None, None])
+                ks_all = ks_all.at[s_idx].set(
+                    ks[:, t][:, :, None].astype(ks_all.dtype), mode="drop"
                 )
-                vs_all = vs_all.at[li, b_idx, w_idx, byte].set(
-                    vs[:, t : t + 1].astype(vs_all.dtype), mode="drop"
+                vs_all = vs_all.at[s_idx].set(
+                    vs[:, t][:, :, None].astype(vs_all.dtype), mode="drop"
                 )
         else:
             # prefill: whole words (positions are 4-aligned contiguous runs —
             # engine chunk/bucket sizes are multiples of 4; trailing pads sit
             # past each row's length and are masked by attention)
             assert T % 4 == 0, "int8 KV prefill needs T % 4 == 0"
-            wpos = positions[:, 0::4] // 4  # (B, T/4); pad-led words drop
-            k_all = k_all.at[li, b_idx, wpos].set(_pack_kv_words(kq), mode="drop")
-            v_all = v_all.at[li, b_idx, wpos].set(_pack_kv_words(vq), mode="drop")
-            ks_all = ks_all.at[li, b_idx, wpos].set(
-                ks.reshape(B, T // 4, 4, -1).astype(ks_all.dtype), mode="drop"
+            if paged:
+                # per-word page lookup (words never straddle pages:
+                # page_size % 4 == 0 enforced at init)
+                first, w_idx0 = _paged_word(
+                    page_table, b_rows, positions[:, 0::4], k_all
+                )
+            else:
+                first = b_rows[:, None]  # (B, 1) broadcasts over words
+                w_idx0 = positions[:, 0::4] // 4  # (B, T/4); OOB words drop
+                first = jnp.broadcast_to(first, w_idx0.shape)
+            w_idx = w_idx0[:, None, :]  # (B, 1, T/4)
+            f_idx = first[:, None, :]
+            k_all = k_all.at[li, f_idx, h_idx, w_idx].set(
+                _pack_kv_words(kq), mode="drop"
             )
-            vs_all = vs_all.at[li, b_idx, wpos].set(
-                vs.reshape(B, T // 4, 4, -1).astype(vs_all.dtype), mode="drop"
+            v_all = v_all.at[li, f_idx, h_idx, w_idx].set(
+                _pack_kv_words(vq), mode="drop"
+            )
+            f_idx4 = first[:, None, None, :]
+            j_idx = jnp.arange(4)[None, :, None, None]
+            h_idx4 = jnp.arange(Hkv_l)[None, None, :, None]
+            w_idx4 = w_idx0[:, None, None, :]
+            ks_all = ks_all.at[li, f_idx4, j_idx, h_idx4, w_idx4].set(
+                _pack_kv_scales(ks).astype(ks_all.dtype), mode="drop"
+            )
+            vs_all = vs_all.at[li, f_idx4, j_idx, h_idx4, w_idx4].set(
+                _pack_kv_scales(vs).astype(vs_all.dtype), mode="drop"
             )
     elif page_table is not None:
         # paged pool: virtual position -> (pool page via table, in-page row).
         # Unallocated (-1) / past-capacity positions redirect to a POSITIVE
         # out-of-bounds page so mode="drop" discards them (a negative index
         # would wrap to the last pool page, like numpy indexing).
-        psz = k_all.shape[2]
+        psz = k_all.shape[3]
         P = page_table.shape[1]
         n_pages = k_all.shape[1]
-        tbl_rows = page_table[b_idx[:, 0]]  # (B, P)
+        tbl_rows = page_table[b_rows]  # (B, P)
         pageidx = positions // psz
         page = jnp.take_along_axis(
             tbl_rows, jnp.minimum(pageidx, P - 1), axis=1
         )
         page = jnp.where((pageidx < P) & (page >= 0), page, n_pages)
         row = positions % psz
-        k_all = k_all.at[li, page, row].set(k.astype(k_all.dtype), mode="drop")
-        v_all = v_all.at[li, page, row].set(v.astype(v_all.dtype), mode="drop")
+        kT = jnp.swapaxes(k, 1, 2)  # (B, Hkv, T, D)
+        vT = jnp.swapaxes(v, 1, 2)
+        p_idx = (li, page[:, None, :], h_idx, row[:, None, :])
+        k_all = k_all.at[p_idx].set(kT.astype(k_all.dtype), mode="drop")
+        v_all = v_all.at[p_idx].set(vT.astype(v_all.dtype), mode="drop")
+    elif T == 1 and slot_ids is None and k_all.shape[3] % (
+        32 // k_all.dtype.itemsize
+    ) == 0 and (not _interpret_mode() or FORCE_FUSED_KV_APPEND):
+        # decode on real TPU: the strided head-major (Hkv, 1, D) row writes
+        # make XLA's scatter lowering copy/transpose the layer slice
+        # (~730 us/step per array at 7B S=2048); ONE aliased Pallas call per
+        # layer writes only the touched slab instead.
+        from xbitops_tpu.kernels.kv_append import kv_append_dense
+
+        k_all, v_all = kv_append_dense(
+            k_all, v_all, k[:, 0], v[:, 0], positions[:, 0], li,
+        )
     else:
-        k_all = k_all.at[li, b_idx, positions].set(k.astype(k_all.dtype), mode="drop")
-        v_all = v_all.at[li, b_idx, positions].set(v.astype(v_all.dtype), mode="drop")
+        kT = jnp.swapaxes(k, 1, 2)  # (B, Hkv, T, D)
+        vT = jnp.swapaxes(v, 1, 2)
+        d_idx = (li, b_idx3, h_idx, positions[:, None, :])
+        k_all = k_all.at[d_idx].set(kT.astype(k_all.dtype), mode="drop")
+        v_all = v_all.at[d_idx].set(vT.astype(v_all.dtype), mode="drop")
 
     def ctx(rows):
-        """Dequantized attention context for cache rows [li] (all or a subset)."""
+        """Head-major attention context [n, Hkv, S, D] for cache rows of
+        layer li (all or a subset)."""
         kc, vc = k_all[li], v_all[li]
+        quant = ks_all is not None
         if page_table is not None:
             # gather each row's pages into a virtually-contiguous context;
             # unallocated (-1 -> clamped) pages read garbage that the causal
@@ -587,25 +711,41 @@ def _block(
             tbl = page_table if rows is None else page_table[rows]
             safe = jnp.maximum(tbl, 0)
             n, P = safe.shape
-            psz = kc.shape[1]
-            kg = kc[safe].reshape(n, P * psz, *kc.shape[2:])
-            vg = vc[safe].reshape(n, P * psz, *vc.shape[2:])
-            return kg, vg
+            # pool [n_pages, Hkv, psz(/4), D] -> [n, Hkv, P*psz(/4), D]
+            kg = jnp.moveaxis(kc[safe], 1, 2).reshape(
+                n, kc.shape[1], -1, kc.shape[3]
+            )
+            vg = jnp.moveaxis(vc[safe], 1, 2).reshape(
+                n, vc.shape[1], -1, vc.shape[3]
+            )
+            if not quant:
+                return kg, vg
+            # scale pools [n_pages, 4, Hkv, psz/4] -> [n, 4, Hkv, P*psz/4]
+            ksg = jnp.moveaxis(ks_all[li][safe], 1, 3).reshape(
+                n, 4, kc.shape[1], -1
+            )
+            vsg = jnp.moveaxis(vs_all[li][safe], 1, 3).reshape(
+                n, 4, vc.shape[1], -1
+            )
+            return _unpack_kv_words(kg, ksg), _unpack_kv_words(vg, vsg)
         if rows is not None:
             kc, vc = kc[rows], vc[rows]
-        if ks_all is None:
+        if not quant:
             return kc, vc
         ksc, vsc = ks_all[li], vs_all[li]
         if rows is not None:
             ksc, vsc = ksc[rows], vsc[rows]
         return _unpack_kv_words(kc, ksc), _unpack_kv_words(vc, vsc)
 
+    pack = 4 if ks_all is not None else 1
     if page_table is not None:
-        S_cap = page_table.shape[1] * k_all.shape[2]
+        S_cap = page_table.shape[1] * k_all.shape[3] * pack
     else:
-        S_cap = k_all.shape[2] * (4 if ks_all is not None else 1)
+        S_cap = k_all.shape[3] * pack
     if self_attend:
-        att = _attention(q, k, v, mask, D ** -0.5)
+        att = _attention(
+            q, jnp.swapaxes(k, 1, 2), jnp.swapaxes(v, 1, 2), mask, D ** -0.5
+        )
     elif slot_ids is not None:
         # x's batch rows map to a subset of cache slots: attend those slots
         att = _attention(q, *ctx(slot_ids), mask, D ** -0.5)

@@ -236,7 +236,11 @@ def quantize_model_gptq(
         q = llama._rope(q.reshape(B, T, H_, D), positions, cfg.rope_theta)
         k = llama._rope(k.reshape(B, T, Hkv, D), positions, cfg.rope_theta)
         v = v.reshape(B, T, Hkv, D)
-        att = llama._attention(q, k, v, causal, D ** -0.5).reshape(B, T, H_ * D)
+        # _attention consumes head-major k/v (cache layout); fresh projections
+        # transpose their small [B, T, Hkv, D] tensors
+        att = llama._attention(
+            q, jnp.swapaxes(k, 1, 2), jnp.swapaxes(v, 1, 2), causal, D ** -0.5
+        ).reshape(B, T, H_ * D)
 
         nl["wo"] = gq(layer["wo"], hessian_from_inputs(att))
         x = x + mm(att, nl["wo"])

@@ -72,22 +72,24 @@ def cache_pspecs(
     axis: str = "model", data_axis=None, quantized: bool = False,
     paged: bool = False,
 ) -> llama.KVCache:
-    # packed int8 cache scales are [L, B, S/4, 4, n_kv] — kv heads last
-    sc = P(None, data_axis, None, None, axis) if quantized else None
+    # head-major cache [L, B, n_kv, S, D] / words [L, B, n_kv, S/4, D]:
+    # kv heads shard over the model axis; scales [L, B, 4, n_kv, S/4]
+    sc = P(None, data_axis, None, axis, None) if quantized else None
     if paged:
-        # pool [L, n_pages, page_size, n_kv, D]: kv heads sharded, pages and
+        # pool [L, n_pages, n_kv, psz(/4), D]: kv heads sharded, pages and
         # in-page rows replicated-local; page tables are tiny, replicated
+        sc_pool = P(None, None, None, axis, None) if quantized else None
         return llama.KVCache(
-            k=P(None, None, None, axis, None),
-            v=P(None, None, None, axis, None),
+            k=P(None, None, axis, None, None),
+            v=P(None, None, axis, None, None),
             lengths=P(data_axis),
-            k_scale=None,
-            v_scale=None,
+            k_scale=sc_pool,
+            v_scale=sc_pool,
             page_table=P(data_axis, None),
         )
     return llama.KVCache(
-        k=P(None, data_axis, None, axis, None),
-        v=P(None, data_axis, None, axis, None),
+        k=P(None, data_axis, axis, None, None),
+        v=P(None, data_axis, axis, None, None),
         lengths=P(data_axis),
         k_scale=sc,
         v_scale=sc,

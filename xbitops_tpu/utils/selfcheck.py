@@ -83,46 +83,46 @@ def check_dequant() -> None:
 
 
 def check_decode_attention() -> None:
-    """Flash-decode sweep: dense, stacked, int8-packed, paged, paged+stacked —
-    on TPU these drive the v2 emit_pipeline kernel (no interpret support)."""
+    """Flash-decode sweep: dense, stacked, int8-packed, paged, paged+stacked,
+    paged+int8 — on TPU these drive the v2 emit_pipeline kernels (which have
+    no interpret support, so CPU CI cannot execute them)."""
     from xbitops_tpu.kernels.decode_attention import decode_attention
-    from xbitops_tpu.models.llama import _pack_kv_words
+    from xbitops_tpu.models.llama import (
+        _pack_kv_scales, _pack_kv_words, _quant_kv,
+    )
 
     L, B, S, H, Hkv, D = 2, 4, 512, 8, 4, 128
     key = jax.random.PRNGKey(7)
     q = jax.random.normal(key, (B, H, D), jnp.bfloat16)
     k = jax.random.normal(jax.random.fold_in(key, 1), (B, S, Hkv, D), jnp.bfloat16) * 0.3
     v = jax.random.normal(jax.random.fold_in(key, 2), (B, S, Hkv, D), jnp.bfloat16) * 0.3
+    kT = jnp.swapaxes(k, 1, 2)  # head-major (B, Hkv, S, D)
+    vT = jnp.swapaxes(v, 1, 2)
     lengths = jnp.asarray([1, 200, 256, 512], jnp.int32)
     want = np.asarray(_ref_att(q, k, v, lengths))
 
-    got = np.asarray(decode_attention(q, k, v, lengths, block_s=256), np.float32)
+    got = np.asarray(decode_attention(q, kT, vT, lengths, block_s=256), np.float32)
     np.testing.assert_allclose(got, want, rtol=5e-2, atol=5e-3, err_msg="dense")
 
-    ks = jnp.stack([k] * L)
-    vs = jnp.stack([v] * L)
     got = np.asarray(
-        decode_attention(q, ks, vs, lengths, block_s=256, layer_idx=jnp.int32(1)),
+        decode_attention(q, jnp.stack([kT] * L), jnp.stack([vT] * L), lengths,
+                         block_s=256, layer_idx=jnp.int32(1)),
         np.float32,
     )
     np.testing.assert_allclose(got, want, rtol=5e-2, atol=5e-3, err_msg="stacked")
 
-    # int8 lane-major packed cache
-    kf = k.astype(jnp.float32)
-    vf = v.astype(jnp.float32)
-    kscl = jnp.maximum(jnp.max(jnp.abs(kf), axis=-1), 1e-8) / 127.0
-    vscl = jnp.maximum(jnp.max(jnp.abs(vf), axis=-1), 1e-8) / 127.0
-    kq = jnp.clip(jnp.round(kf / kscl[..., None]), -127, 127).astype(jnp.int32)
-    vq = jnp.clip(jnp.round(vf / vscl[..., None]), -127, 127).astype(jnp.int32)
+    # packed biased int8 cache
+    kq, kscl = _quant_kv(k.astype(jnp.float32))
+    vq, vscl = _quant_kv(v.astype(jnp.float32))
     kw, vw = _pack_kv_words(kq), _pack_kv_words(vq)
-    ks_p = kscl.reshape(B, S // 4, 4, Hkv).astype(jnp.bfloat16)
-    vs_p = vscl.reshape(B, S // 4, 4, Hkv).astype(jnp.bfloat16)
+    ks_p = _pack_kv_scales(kscl).astype(jnp.bfloat16)
+    vs_p = _pack_kv_scales(vscl).astype(jnp.bfloat16)
     got = np.asarray(
-        decode_attention(q, kw, vw, lengths, block_s=256, k_scale=ks_p, v_scale=vs_p),
+        decode_attention(q, kw, vw, lengths, k_scale=ks_p, v_scale=vs_p),
         np.float32,
     )
-    kd = (kq.astype(jnp.float32) * kscl[..., None]).astype(jnp.bfloat16)
-    vd = (vq.astype(jnp.float32) * vscl[..., None]).astype(jnp.bfloat16)
+    kd = ((kq - 128).astype(jnp.float32) * kscl[..., None]).astype(jnp.bfloat16)
+    vd = ((vq - 128).astype(jnp.float32) * vscl[..., None]).astype(jnp.bfloat16)
     want_q = np.asarray(_ref_att(q, kd, vd, lengths))
     np.testing.assert_allclose(got, want_q, rtol=5e-2, atol=2e-2, err_msg="int8")
 
@@ -130,8 +130,8 @@ def check_decode_attention() -> None:
     psz = 256
     P = S // psz
     table = jnp.arange(B * P, dtype=jnp.int32).reshape(B, P)
-    pool_k = k.reshape(B * P, psz, Hkv, D)
-    pool_v = v.reshape(B * P, psz, Hkv, D)
+    pool_k = kT.reshape(B, Hkv, P, psz, D).swapaxes(1, 2).reshape(B * P, Hkv, psz, D)
+    pool_v = vT.reshape(B, Hkv, P, psz, D).swapaxes(1, 2).reshape(B * P, Hkv, psz, D)
     got = np.asarray(
         decode_attention(q, pool_k, pool_v, lengths, page_table=table), np.float32
     )
@@ -147,6 +147,25 @@ def check_decode_attention() -> None:
         got, want, rtol=5e-2, atol=5e-3, err_msg="paged+stacked"
     )
 
+    # paged + int8 combination (identity table)
+    pszw = psz // 4
+    pool_kw = kw.reshape(B, Hkv, P, pszw, D).swapaxes(1, 2).reshape(B * P, Hkv, pszw, D)
+    pool_vw = vw.reshape(B, Hkv, P, pszw, D).swapaxes(1, 2).reshape(B * P, Hkv, pszw, D)
+    pool_ks = ks_p.reshape(B, 4, Hkv, P, pszw)
+    pool_ks = jnp.moveaxis(pool_ks, 3, 1).reshape(B * P, 4, Hkv, pszw)
+    pool_vs = vs_p.reshape(B, 4, Hkv, P, pszw)
+    pool_vs = jnp.moveaxis(pool_vs, 3, 1).reshape(B * P, 4, Hkv, pszw)
+    got = np.asarray(
+        decode_attention(
+            q, pool_kw, pool_vw, lengths, page_table=table,
+            k_scale=pool_ks, v_scale=pool_vs,
+        ),
+        np.float32,
+    )
+    np.testing.assert_allclose(
+        got, want_q, rtol=5e-2, atol=2e-2, err_msg="paged+int8"
+    )
+
 
 def check_kv_append() -> None:
     """Fused aliased kv_append vs a host-side RMW reference (native backend)."""
@@ -155,12 +174,12 @@ def check_kv_append() -> None:
     L, B, S, Hkv, D = 2, 4, 64, 4, 128
     Sw = S // 4
     rng = np.random.default_rng(0)
-    k_all = jnp.asarray(rng.integers(-(2**31), 2**31, (L, B, Sw, Hkv, D), np.int64).astype(np.int32))
-    v_all = jnp.asarray(rng.integers(-(2**31), 2**31, (L, B, Sw, Hkv, D), np.int64).astype(np.int32))
-    ks_all = jnp.asarray(rng.standard_normal((L, B, Sw, 4, Hkv)), jnp.bfloat16)
-    vs_all = jnp.asarray(rng.standard_normal((L, B, Sw, 4, Hkv)), jnp.bfloat16)
-    kq = jnp.asarray(rng.integers(-127, 128, (B, Hkv, D)).astype(np.int32))
-    vq = jnp.asarray(rng.integers(-127, 128, (B, Hkv, D)).astype(np.int32))
+    k_all = jnp.asarray(rng.integers(-(2**31), 2**31, (L, B, Hkv, Sw, D), np.int64).astype(np.int32))
+    v_all = jnp.asarray(rng.integers(-(2**31), 2**31, (L, B, Hkv, Sw, D), np.int64).astype(np.int32))
+    ks_all = jnp.asarray(rng.standard_normal((L, B, 4, Hkv, Sw)), jnp.bfloat16)
+    vs_all = jnp.asarray(rng.standard_normal((L, B, 4, Hkv, Sw)), jnp.bfloat16)
+    kq = jnp.asarray(rng.integers(1, 256, (B, Hkv, D)).astype(np.int32))  # biased
+    vq = jnp.asarray(rng.integers(1, 256, (B, Hkv, D)).astype(np.int32))
     kscl = jnp.asarray(rng.standard_normal((B, Hkv)), jnp.bfloat16)
     vscl = jnp.asarray(rng.standard_normal((B, Hkv)), jnp.bfloat16)
     positions = np.asarray([0, 5, 31, S + 3], np.int32)  # last = padding
@@ -178,12 +197,32 @@ def check_kv_append() -> None:
         w, byte = pos // 4, pos % 4
         sh = byte * 8
         keep = ~(np.int32(255) << sh)
-        wk[li, b, w] = (wk[li, b, w] & keep) | ((np.array(kq[b]) & 255) << sh)
-        wv[li, b, w] = (wv[li, b, w] & keep) | ((np.array(vq[b]) & 255) << sh)
-        wks[li, b, w, byte] = np.array(kscl[b], wks.dtype)
-        wvs[li, b, w, byte] = np.array(vscl[b], wvs.dtype)
+        wk[li, b, :, w] = (wk[li, b, :, w] & keep) | ((np.array(kq[b]) & 255) << sh)
+        wv[li, b, :, w] = (wv[li, b, :, w] & keep) | ((np.array(vq[b]) & 255) << sh)
+        wks[li, b, byte, :, w] = np.array(kscl[b], wks.dtype)
+        wvs[li, b, byte, :, w] = np.array(vscl[b], wvs.dtype)
     for g, w in zip(got, (wk, wv, wks, wvs)):
         np.testing.assert_array_equal(np.asarray(g), np.asarray(w, np.asarray(g).dtype))
+
+    # dense (bf16) variant: strided head-major row writes via the aliased slab
+    from xbitops_tpu.kernels.kv_append import kv_append_dense
+
+    kd_all = jnp.asarray(rng.standard_normal((L, B, Hkv, S, D)), jnp.bfloat16)
+    vd_all = jnp.asarray(rng.standard_normal((L, B, Hkv, S, D)), jnp.bfloat16)
+    knew = jnp.asarray(rng.standard_normal((B, Hkv, D)), jnp.bfloat16)
+    vnew = jnp.asarray(rng.standard_normal((B, Hkv, D)), jnp.bfloat16)
+    gk, gv = kv_append_dense(
+        kd_all, vd_all, knew, vnew, jnp.asarray(positions), jnp.int32(li)
+    )
+    wkd, wvd = np.array(kd_all), np.array(vd_all)
+    for b in range(B):
+        pos = int(positions[b])
+        if pos >= S:
+            continue
+        wkd[li, b, :, pos] = np.asarray(knew[b])
+        wvd[li, b, :, pos] = np.asarray(vnew[b])
+    np.testing.assert_array_equal(np.asarray(gk), wkd)
+    np.testing.assert_array_equal(np.asarray(gv), wvd)
 
 
 CHECKS: List[Tuple[str, Callable[[], None]]] = [
