@@ -5,6 +5,7 @@ Tolerances track the reference's own GEMV checks: f32-accum rel 1e-5/abs 3e-4
 path (weights rounded to bf16, ~2^-8 relative per element).
 """
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -165,3 +166,49 @@ def test_qmatmul_a8_perchannel_exact():
                                     use_kernel=False, a8=True))
         got = np.asarray(xb.qmatmul(jnp.asarray(a), qt, out_dtype=jnp.float32, a8=True))
         np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-4)
+
+
+def test_qmatmul_stacked_act_order():
+    """Layer-stacked act-order QTensors: perm stacks to [L, K] and the matmul
+    gathers activations through perm[layer] (previously NotImplementedError —
+    round-2 verdict 'act-order under stacked layers')."""
+    K, N, g, bits, L = 128, 128, 32, 4, 3
+    rng = np.random.default_rng(17)
+    ws = [rng.standard_normal((K, N)).astype(np.float32) for _ in range(L)]
+    qts = [xb.quantize_array(jnp.asarray(w), bits, g, act_order=True) for w in ws]
+    assert all(q.perm is not None for q in qts)
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *qts)
+    a = rng.standard_normal((4, K)).astype(np.float32)
+    for li in range(L):
+        wd = np.asarray(
+            formats.dequant_qtensor_reference(qts[li], out_dtype=jnp.float32)
+        )
+        got = np.asarray(
+            xb.qmatmul(jnp.asarray(a), stacked, out_dtype=jnp.float32,
+                       precise=True, layer=jnp.int32(li))
+        )
+        np.testing.assert_allclose(got, a @ wd, rtol=1e-5, atol=3e-4)
+
+
+def test_requantize_a8_tile_channel():
+    """requantize_a8: 8-bit per-channel form matmuls like the original (error
+    bounded by the column grid, ~10x under the 4-bit grid) and routes to the
+    a8 kernel's int32-exact per-channel fast path."""
+    K, N, g = 1024, 256, 128
+    rng = np.random.default_rng(23)
+    w = rng.standard_normal((K, N)).astype(np.float32) * 0.1
+    qt = xb.quantize_array(jnp.asarray(w), 4, g)
+    rq = xb.requantize_a8(qt)
+    assert rq.bits == 8 and rq.group_size >= rq.K_logical
+    wd4 = np.asarray(formats.dequant_qtensor_reference(qt, out_dtype=jnp.float32))
+    wd8 = np.asarray(formats.dequant_qtensor_reference(rq, out_dtype=jnp.float32))
+    # requant rounding is bounded by half the tile grid step
+    step = np.asarray(rq.scales, np.float32).max()
+    assert np.abs(wd8 - wd4).max() <= 0.51 * step
+    # a8 matmul parity vs the fake-quant oracle (per-row int8 activations)
+    a = jnp.asarray(rng.standard_normal((64, K)).astype(np.float32) * 0.3)
+    got = np.asarray(xb.qmatmul(a, rq, a8=True, out_dtype=jnp.float32))
+    want = np.asarray(
+        xb.qmatmul(a, rq, a8=True, out_dtype=jnp.float32, use_kernel=False)
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-3)

@@ -114,3 +114,39 @@ def test_shard_validation(mesh):
     with pytest.raises(ValueError):
         # N=512 over 8 shards -> 64 lanes per shard < 128
         tp.shard_qtensor(qt_small, mesh, col_axis="model")
+
+
+def test_row_parallel_act_order(mesh):
+    """Per-shard act-order: each K-shard sorts its own rows and the local
+    matmul gathers its local activation slice through its own perm — no
+    cross-device permutation (the act-order + TP combination the round-2
+    verdict listed as missing)."""
+    import dataclasses
+
+    rng = np.random.default_rng(3)
+    K, N, shards = 2048, 512, 8
+    Ks = K // shards
+    w = rng.standard_normal((K, N), dtype=np.float32) * 0.1
+    a = jnp.asarray(rng.standard_normal((2, K), dtype=np.float32) * 0.3)
+    qt = xb.quantize_array(jnp.asarray(w), 4, 64, row_shards=shards,
+                           act_order=True)
+    assert qt.perm is not None and qt.perm.shape == (shards, Ks)
+    qts = tp.shard_qtensor(qt, mesh, row_axis="model")
+    got = tp.row_parallel_qmatmul(a, qts, mesh, out_dtype=jnp.float32,
+                                  precise=True)
+    # oracle: dequant each local shard (perm scatters back to logical rows)
+    shards_wd = []
+    for i in range(shards):
+        local = dataclasses.replace(
+            qt,
+            planes=tuple(p[i] for p in qt.planes),
+            scales=qt.scales[i],
+            scale_zeros=qt.scale_zeros[i],
+            perm=qt.perm[i],
+        )
+        shards_wd.append(
+            np.asarray(formats.dequant_qtensor_reference(local, out_dtype=jnp.float32))
+        )
+    wd = np.concatenate(shards_wd, axis=0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(a) @ wd,
+                               rtol=1e-5, atol=1e-3)

@@ -31,6 +31,6 @@ from xbitops_tpu.ops.gptq import (  # noqa: F401
     quantize_model_gptq,
 )
 from xbitops_tpu.ops.qmatmul import gemv, qmatmul  # noqa: F401
-from xbitops_tpu.ops.quantize import quantize_array  # noqa: F401
+from xbitops_tpu.ops.quantize import quantize_array, requantize_a8  # noqa: F401
 
 __version__ = "0.1.0"

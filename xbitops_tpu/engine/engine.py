@@ -167,21 +167,12 @@ class Engine:
         self.spec_stats = {"drafted": 0, "accepted": 0}
 
         # stacked layers: O(1) compile in depth; the fused kernel indexes the
-        # stacked planes in place (no per-step copy). Falls back to the layer
-        # list when layers aren't structurally identical (mixed fusion) or
-        # contain act-order perms (stacked gather unsupported).
-        from xbitops_tpu.formats import QTensor
-
+        # stacked planes in place (no per-step copy) and act-order perms stack
+        # to [L, K] (the matmul gathers activations through perm[layer]).
+        # Falls back to the layer list when layers aren't structurally
+        # identical (mixed fusion).
         try:
-            stacked = llama.stack_layers(params)
-            qts = [
-                x for x in jax.tree.leaves(
-                    stacked["layers"], is_leaf=lambda v: isinstance(v, QTensor)
-                )
-                if isinstance(x, QTensor)
-            ]
-            if not any(q.perm is not None for q in qts):
-                params = stacked
+            params = llama.stack_layers(params)
         except (ValueError, TypeError):
             pass
 

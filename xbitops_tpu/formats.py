@@ -587,6 +587,7 @@ def make_row_sharded_qtensor(
     tile_k: Optional[int] = None,
     scale_store_dtype=jnp.float32,
     storage_bits=None,
+    perm: Optional[jax.Array] = None,
 ) -> QTensor:
     """Pack ``wq[K, N]`` for **row-parallel** execution over ``row_shards`` devices.
 
@@ -601,10 +602,19 @@ def make_row_sharded_qtensor(
     ``[row_shards, ...]`` (shard it with ``P(axis, ...)``); the static metadata
     describes ONE shard, so inside ``shard_map`` dropping the leading axis yields
     a self-consistent local QTensor (see ``parallel.tp.squeeze_row_shard``).
+
+    ``perm`` (optional, ``[row_shards, K/row_shards]``): shard-LOCAL act-order
+    permutations — ``wq`` rows must already be permuted accordingly (see
+    ``ops.quantize.quantize_array(act_order=True, row_shards=...)``); each
+    local matmul gathers its local activation slice through its own perm.
     """
     import math
 
     K, N = wq.shape
+    if perm is not None and tuple(perm.shape) != (row_shards, K // row_shards):
+        raise ValueError(
+            f"perm shape {perm.shape} != ({row_shards}, {K // row_shards})"
+        )
     if K % row_shards:
         raise ValueError(f"K={K} must divide into {row_shards} row shards")
     Ks = K // row_shards
@@ -640,7 +650,7 @@ def make_row_sharded_qtensor(
         tile_k=first.tile_k,
         K=first.K,
         K_logical=first.K_logical,
-        perm=None,
+        perm=perm,
         N_logical=first.N_logical,
         value_bits=first.value_bits,
     )

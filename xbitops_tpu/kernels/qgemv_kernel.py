@@ -134,8 +134,13 @@ def _kernel_a8(plane_bits, tile_k, gt, cs, stacked, *refs):
       ``asum (tm, gt) = a @ group_onehot`` (s8 MXU dot, exact) hit the
       ``sz`` rows as ``asum @ szb`` — per-group VPU cost ZERO;
     - the scale term keeps the integer partials in s32 through the plane
-      combination (shifts, not f32 muls) and folds with a single
-      convert+multiply+add per group (fma-able) into the f32 accumulator.
+      combination (shifts, not f32 muls) AND across every chunk of a group
+      (exact: |Σ a·w| ≤ 127·255·g < 2^31 for g ≤ 66k), folding with a single
+      convert+multiply+add per GROUP (not per chunk) into the f32 accumulator
+      — the per-(M,N)-element VPU work is 3 ops per group, the minimum this
+      decomposition admits (measured: per-chunk folding cost 0.64x vs bf16;
+      per-group recovers it, and one-group-per-tile layouts approach the
+      per-channel fast path).
 
     An 8-bit plane's values (0..255) don't fit s8: they are offset by -128
     before the dot and the exact ``128 * asum`` correction folds into the
@@ -184,22 +189,26 @@ def _kernel_a8(plane_bits, tile_k, gt, cs, stacked, *refs):
     ).astype(jnp.float32)  # (tm, gt_pad); |asum| <= 127*g_tile: f32-exact
 
     total = jnp.zeros_like(acc_ref)
-    for c in range(tile_k // cs):
-        a_c = a[:, c * cs : (c + 1) * cs]
-        d = None
-        shift = 0
-        for blk, pb in zip(blocks, plane_bits):
-            vals = common.extract_plane_chunk(blk, pb, c, cs, tile_k)
-            v8 = (vals - (128 if pb == 8 else 0)).astype(jnp.int8)
-            dp = jax.lax.dot_general(
-                a_c, v8, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32,
-            )
-            dp = dp if shift == 0 else (dp << shift)
-            d = dp if d is None else d + dp
-            shift += pb
-        gi = (c * cs) // g_tile
-        total = total + d.astype(jnp.float32) * s_row(s_ref, gi)
+    cpg = g_tile // cs  # chunks per group (chunk_plan: cs divides g_tile)
+    for c0 in range(0, tile_k // cs, cpg):
+        d_grp = None  # exact s32 across the group's chunks
+        for c in range(c0, c0 + cpg):
+            a_c = a[:, c * cs : (c + 1) * cs]
+            d = None
+            shift = 0
+            for blk, pb in zip(blocks, plane_bits):
+                vals = common.extract_plane_chunk(blk, pb, c, cs, tile_k)
+                v8 = (vals - (128 if pb == 8 else 0)).astype(jnp.int8)
+                dp = jax.lax.dot_general(
+                    a_c, v8, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )
+                dp = dp if shift == 0 else (dp << shift)
+                d = dp if d is None else d + dp
+                shift += pb
+            d_grp = d if d_grp is None else d_grp + d
+        gi = (c0 * cs) // g_tile
+        total = total + d_grp.astype(jnp.float32) * s_row(s_ref, gi)
     szb = s_blk(sz_ref)
     if plane_bits == (8,):  # fold the 8-bit plane's -128 offset correction
         szb = szb - 128.0 * s_blk(s_ref)

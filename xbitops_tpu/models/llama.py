@@ -129,9 +129,9 @@ def init_params(
     ``tp``-way mesh (see ``formats.make_row_sharded_qtensor``).  ``fuse`` packs
     q|k|v and gate|up as single fused matmuls (per-shard interleaved under TP).
     ``act_order`` quantizes rows in salience order (exllama-style permuted
-    groups; incompatible with row-parallel sharding, so requires tp == 1)."""
-    if act_order and tp > 1:
-        raise NotImplementedError("act_order + tensor parallelism")
+    groups).  Under TP, column-parallel weights keep a global order (K is
+    replicated) and row-parallel weights use per-K-shard ordering so the
+    activation gather stays shard-local (see ``quantize_array``)."""
 
     def dense(key, shape, scale):
         return (jax.random.normal(key, shape, jnp.float32) * scale).astype(jnp.float32)
@@ -142,8 +142,7 @@ def init_params(
             return w.astype(dtype)
         row_shards = tp if (row_parallel and tp > 1) else 1
         return quantize_array(
-            w, bits, group_size, row_shards=row_shards,
-            act_order=act_order and row_shards == 1,
+            w, bits, group_size, row_shards=row_shards, act_order=act_order,
         )
 
     def q_fused(key, kdim, ndims, scale):
@@ -152,7 +151,7 @@ def init_params(
             w = w[:, interleave_order(ndims, tp)]
         if bits is None:
             return w.astype(dtype)
-        return quantize_array(w, bits, group_size, act_order=act_order and tp == 1)
+        return quantize_array(w, bits, group_size, act_order=act_order)
 
     h, ffn = cfg.hidden_size, cfg.intermediate_size
     qdim = cfg.num_heads * cfg.head_dim
@@ -364,11 +363,13 @@ class TPRuntime(Runtime):
 
         if isinstance(w, IndexedQTensor) and w.qt.planes[0].ndim == 4:
             # stacked row-sharded: drop the (length-1) local shard axis
+            # (perm is stacked shard-local [L, 1, Ks] when act-ordered)
             qt = dataclasses.replace(
                 w.qt,
                 planes=tuple(p[:, 0] for p in w.qt.planes),
                 scales=w.qt.scales[:, 0],
                 scale_zeros=w.qt.scale_zeros[:, 0],
+                perm=None if w.qt.perm is None else w.qt.perm[:, 0],
             )
             w = IndexedQTensor(qt, w.layer)
         if isinstance(w, QTensor) and is_row_sharded(w):

@@ -58,12 +58,9 @@ def qmatmul(
     weight side is exact; only activations round (~1/254 per-element relative).
     """
     out_dtype = out_dtype or a.dtype
-    if layer is not None:
-        if qt.perm is not None:
-            raise NotImplementedError("stacked act-order qmatmul")
-        if not use_kernel:
-            qt = jax.tree.map(lambda x: x[layer], qt)
-            layer = None
+    if layer is not None and not use_kernel:
+        qt = jax.tree.map(lambda x: x[layer], qt)
+        layer = None
     *lead, K = a.shape
     if K != qt.K_logical:
         raise ValueError(f"a K={K} != weight K={qt.K_logical}")
@@ -72,7 +69,9 @@ def qmatmul(
         M *= d
     a2 = a.reshape(M, K)
     if qt.perm is not None:
-        a2 = jnp.take(a2, qt.perm, axis=1)
+        # stacked QTensors carry a per-layer permutation [L, K]
+        p = qt.perm if layer is None else qt.perm[layer]
+        a2 = jnp.take(a2, p, axis=1)
     if qt.K != K:  # padded packed rows: zero activations contribute nothing
         a2 = jnp.pad(a2, ((0, 0), (0, qt.K - K)))
 

@@ -41,15 +41,27 @@ def quantize_array(
     measured order as ``g_idx`` through :func:`formats.from_gptq`).  The row
     permutation is stored on the QTensor and activations are gathered at
     matmul time — kernels stay gather-free (exllama's approach to the
-    reference's disabled act-order kernel, ``quant_cuda_kernel.cu:257-336``)."""
+    reference's disabled act-order kernel, ``quant_cuda_kernel.cu:257-336``).
+    With ``row_shards > 1`` the ordering is PER SHARD (each K-shard sorts its
+    own rows), so the gather stays shard-local under row-parallel TP — no
+    cross-device permutation; the stored perm is ``[row_shards, K/row_shards]``
+    of shard-local indices."""
     K, N = w.shape
     perm = None
     if act_order:
-        if row_shards > 1:
-            raise NotImplementedError("act_order + row-parallel sharding")
         salience = jnp.sum(jnp.abs(w.astype(jnp.float32)), axis=1)
-        perm = jnp.argsort(-salience).astype(jnp.int32)
-        w = jnp.take(w, perm, axis=0)
+        if row_shards > 1:
+            if K % row_shards:
+                raise ValueError(f"K={K} must divide into {row_shards} shards")
+            Ks = K // row_shards
+            perm = jnp.argsort(
+                -salience.reshape(row_shards, Ks), axis=1
+            ).astype(jnp.int32)  # [row_shards, Ks] shard-local
+            full = (perm + (jnp.arange(row_shards) * Ks)[:, None]).reshape(-1)
+            w = jnp.take(w, full, axis=0)
+        else:
+            perm = jnp.argsort(-salience).astype(jnp.int32)
+            w = jnp.take(w, perm, axis=0)
     Kp = common.round_up(K, group_size)
     wf = jnp.pad(w.astype(jnp.float32), ((0, Kp - K), (0, 0)))
     G = Kp // group_size
@@ -74,9 +86,33 @@ def quantize_array(
         return formats.make_row_sharded_qtensor(
             wq, scale, zero, bits, group_size, row_shards,
             tile_k=tile_k, scale_store_dtype=scale_store_dtype,
-            storage_bits=storage_bits,
+            storage_bits=storage_bits, perm=perm,
         )
     return formats.make_qtensor(
         wq, scale, zero, bits, group_size, add_zero_bias=0, tile_k=tile_k,
         perm=perm, scale_store_dtype=scale_store_dtype, storage_bits=storage_bits,
     )
+
+
+def requantize_a8(qt: QTensor, tile_k: Optional[int] = None) -> QTensor:
+    """Re-quantize a grouped QTensor to 8-bit PER-CHANNEL scales — the layout
+    that makes the int8-MXU (W4A8) prefill path actually pay on grouped
+    checkpoints.
+
+    The a8 kernel folds group scales into the f32 accumulator once per group
+    per (M, N) output element; at g=128 that VPU work eats the int8 MXU's 2x
+    MAC rate (measured 0.64x vs bf16 at M=512).  Per-channel scales route to
+    the int32-exact fast path — pure s32 accumulation, ONE rescale at the
+    output write (measured 1.3x / 227 TF).  Intermediate per-tile groupings
+    were measured SLOWER than both (0.44-0.69x): the grouped kernel's f32
+    tile combine dominates even at one group per tile.
+
+    Cost: 8 storage bits per weight (~2x the HBM of 4-bit — irrelevant for
+    MXU-bound prefill, but callers keeping the 4-bit tensor for decode hold
+    both copies).  Accuracy: adds one 8-bit rounding against the COLUMN range
+    — (col max-min)/255 per element, typically ~10x under the original 4-bit
+    per-group grid, so combined error stays dominated by the original
+    quantization (per-channel W8 is near-lossless for LLM weights).
+    Act-order inputs requantize in logical row order (no perm afterwards)."""
+    wd = formats.dequant_qtensor_reference(qt, out_dtype=jnp.float32)
+    return quantize_array(wd, 8, group_size=wd.shape[0], tile_k=tile_k)

@@ -66,7 +66,8 @@ def qtensor_pspecs(
         tile_k=qt.tile_k,
         K=qt.K,
         K_logical=qt.K_logical,
-        perm=None if qt.perm is None else P(None),
+        # row-sharded act-order perms are shard-local [row_shards, Ks]
+        perm=None if qt.perm is None else P(*lead, None),
         N_logical=qt.N_logical,
     )
 
@@ -86,6 +87,7 @@ def squeeze_row_shard(qt: QTensor) -> QTensor:
         planes=tuple(p[0] for p in qt.planes),
         scales=qt.scales[0],
         scale_zeros=qt.scale_zeros[0],
+        perm=None if qt.perm is None else qt.perm[0],
     )
 
 
