@@ -32,9 +32,13 @@ Two kernels:
   length clamping — the interpreter-friendly oracle (CPU CI) and the
   fallback for shapes the pipelined kernel can't take (S not a multiple of
   the block).
-- **v2** (grid ``(B,)``): one program per slot, inner ``pltpu.emit_pipeline``
-  with a DYNAMIC grid over the slot's live blocks (per-program fixed cost
-  paid B times, HBM traffic exactly the live blocks), head-group MXU dots.
+- **v2** (grid ``(B/SPB,)``): one program per GROUP of up to 8 slots, inner
+  ``pltpu.emit_pipeline`` with a DYNAMIC flattened (slot, block) grid over
+  each slot's live blocks (clamped index maps make past-live steps free:
+  they re-address the resident block and skip compute).  The ~5-8 us Mosaic
+  per-program fixed cost is paid B/SPB times — at B=32 the per-slot version
+  paid it 32x/layer, matching XLA's full-allocation attention cost.  HBM
+  traffic is exactly the live blocks; scores/p·v are head-group MXU dots.
   Requires a real TPU (emit_pipeline has no interpreter support).
 
 Paged mode composes with both dense and int8 caches: k/v are page POOLS
@@ -160,7 +164,8 @@ def _kernel(bs, rep, Hkv, D, scale, stacked, has_scales, paged, *refs):
 # --------------------------------------------------------------------------
 
 
-def _kernel_v2(bs, rep, Hkv, D, scale, stacked, paged, P, has_scales, *refs):
+def _kernel_v2(bs, rep, Hkv, D, scale, stacked, paged, P, has_scales, SPB,
+               *refs):
     refs = list(refs)
     lens_ref = refs.pop(0)
     tbl_ref = refs.pop(0) if paged else None
@@ -169,22 +174,22 @@ def _kernel_v2(bs, rep, Hkv, D, scale, stacked, paged, P, has_scales, *refs):
         q_ref, k_hbm, v_hbm, ks_hbm, vs_hbm, o_ref, m_ref, l_ref, acc_ref = refs
     else:
         q_ref, k_hbm, v_hbm, o_ref, m_ref, l_ref, acc_ref = refs
-    b = pl.program_id(0)
-    length = lens_ref[b]
-    m_ref[...] = jnp.full_like(m_ref, NEG_INF)
-    l_ref[...] = jnp.zeros_like(l_ref)
-    acc_ref[...] = jnp.zeros_like(acc_ref)
+    # SPB slots share one program: the ~5-8 us Mosaic per-program fixed cost
+    # (CLAUDE.md rule 12) is paid B/SPB times instead of B — at B=32 that
+    # cost alone matched XLA's full-allocation attention.  The inner pipeline
+    # covers (slot-in-group, block); per-slot block counts stay dynamic via
+    # index-map clamping (a past-live step re-addresses the slot's last live
+    # block, which the scheduler already holds — no HBM traffic — and skips
+    # compute).
+    b0 = pl.program_id(0) * SPB
     G = _pick_group(Hkv)
     n_grp = Hkv // G
     bw = bs // 4
-
-    if has_scales:
-        qf = q_ref[0].astype(jnp.float32)  # (Hkv, rep, D)
-        qsum128 = 128.0 * jnp.sum(qf, axis=2, keepdims=True)  # (Hkv, rep, 1)
-        rows = bw
-    else:
-        qf = q_ref[0]  # bf16: MXU eats it directly
-        rows = bs
+    rows = bw if has_scales else bs
+    nmax = jnp.int32(1)
+    for s in range(SPB):
+        nl = (lens_ref[b0 + s] + bs - 1) // bs
+        nmax = jnp.maximum(nmax, nl)
     # own-head lane segments of a (G, G*rows) cross-product block
     seg = jax.lax.broadcasted_iota(jnp.int32, (G, G * rows), 1) // rows
     row_i = jax.lax.broadcasted_iota(jnp.int32, (G, G * rows), 0)
@@ -214,28 +219,62 @@ def _kernel_v2(bs, rep, Hkv, D, scale, stacked, paged, P, has_scales, *refs):
         l_ref[r, sl] = l_ref[r, sl] * alpha + jnp.sum(p, axis=1, keepdims=True)
         return p, alpha
 
+    def start_slot():
+        m_ref[...] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    def finalize(s, length):
+        for r in range(rep):
+            denom = jnp.maximum(l_ref[r], 1e-30)
+            out = (acc_ref[r] / denom).astype(o_ref.dtype)
+            # a length-0 slot still runs one (clamped) block of garbage rows
+            # with all scores NEG_INF -> p = 1; match the v1 kernel's
+            # zeros-for-empty-slot semantics instead
+            o_ref[s, :, r, :] = jnp.where(length > 0, out, jnp.zeros_like(out))
+
+    def split_pid():
+        """Flattened inner grid (SPB * nmax,) -> (slot-in-group, block)."""
+        pid = pl.program_id(0)
+        return pid // nmax, pid % nmax
+
     def body_bf16(k_blk, v_blk):
-        i = pl.program_id(0)
-        live = i * bs + jax.lax.broadcasted_iota(jnp.int32, (G, bs), 1) < length
-        for g in range(n_grp):
-            sl = slice(g * G, (g + 1) * G)
-            k2 = k_blk[sl].reshape(G * bs, D)  # contiguous leading merge
-            v2 = v_blk[sl].reshape(G * bs, D)
-            for r in range(rep):
-                qg = qf[sl, r, :]  # (G, D) bf16
-                sx = jax.lax.dot_general(
-                    qg, k2, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )  # (G, G*bs)
-                scores = fold_own(sx) * scale
-                scores = jnp.where(live, scores, NEG_INF)
-                p, alpha = update(r, sl, scores)
-                pX = expand_own(p).astype(v2.dtype)
-                pv = jax.lax.dot_general(
-                    pX, v2, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )  # (G, D)
-                acc_ref[r, sl] = acc_ref[r, sl] * alpha + pv
+        s, i = split_pid()
+        length = lens_ref[b0 + s]
+
+        @pl.when(i == 0)
+        def _():
+            start_slot()
+
+        @pl.when(i * bs < length)
+        def _():
+            qf = q_ref[s]  # (Hkv, rep, D) bf16: MXU eats it directly
+            live = (
+                i * bs + jax.lax.broadcasted_iota(jnp.int32, (G, bs), 1) < length
+            )
+            for g in range(n_grp):
+                sl = slice(g * G, (g + 1) * G)
+                k2 = k_blk[sl].reshape(G * bs, D)  # contiguous leading merge
+                v2 = v_blk[sl].reshape(G * bs, D)
+                for r in range(rep):
+                    qg = qf[sl, r, :]  # (G, D) bf16
+                    sx = jax.lax.dot_general(
+                        qg, k2, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )  # (G, G*bs)
+                    scores = fold_own(sx) * scale
+                    scores = jnp.where(live, scores, NEG_INF)
+                    p, alpha = update(r, sl, scores)
+                    pX = expand_own(p).astype(v2.dtype)
+                    pv = jax.lax.dot_general(
+                        pX, v2, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )  # (G, D)
+                    acc_ref[r, sl] = acc_ref[r, sl] * alpha + pv
+
+        @pl.when(i == nmax - 1)
+        def _():
+            finalize(s, length)
 
     def field(wg, j):
         """Byte stream j of biased words, in place at bit offset 8j (exact in
@@ -249,111 +288,111 @@ def _kernel_v2(bs, rep, Hkv, D, scale, stacked, paged, P, has_scales, *refs):
         return 1.0 if j == 3 else float(2.0 ** (-8 * j))
 
     def body_int8(k_blk, v_blk, ks_blk, vs_blk):
-        i = pl.program_id(0)
-        # j-concatenated (G, 4*bw) score lanes: l = j*bw + w -> pos i*bs+4w+j
-        l_iota = jax.lax.broadcasted_iota(jnp.int32, (G, 4 * bw), 1)
-        pos = i * bs + 4 * (l_iota % bw) + l_iota // bw
-        live = pos < length
-        for g in range(n_grp):
-            sl = slice(g * G, (g + 1) * G)
-            kg = k_blk[sl]  # (G, bw, D) int32 words
-            vg = v_blk[sl]
-            for r in range(rep):
-                qg = qf[sl, r, :]  # (G, D) f32
-                qs_g = qsum128[sl, r]  # (G, 1)
-                parts = []
-                for j in range(4):
-                    k2 = field(kg, j).reshape(G * bw, D)
-                    sx = jax.lax.dot_general(
-                        qg, k2, (((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    )
-                    su = fold_own(sx)  # (G, bw) = sum u·q·2^8j
-                    ksj = ks_blk[j, sl, :].astype(jnp.float32)
-                    parts.append(ksj * (su * inv_j(j) - qs_g) * scale)
-                scores = jnp.concatenate(parts, axis=1)  # (G, 4*bw)
-                scores = jnp.where(live, scores, NEG_INF)
-                p, alpha = update(r, sl, scores)
-                pv = None
-                for j in range(4):
-                    v2 = field(vg, j).reshape(G * bw, D)
-                    vsj = vs_blk[j, sl, :].astype(jnp.float32)
-                    pe = p[:, j * bw : (j + 1) * bw] * vsj  # (G, bw)
-                    pX = expand_own(pe * inv_j(j))
-                    dv = jax.lax.dot_general(
-                        pX, v2, (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    )
-                    dvj = dv - 128.0 * jnp.sum(pe, axis=1, keepdims=True)
-                    pv = dvj if pv is None else pv + dvj
-                acc_ref[r, sl] = acc_ref[r, sl] * alpha + pv
+        s, i = split_pid()
+        length = lens_ref[b0 + s]
 
-    n_live = jnp.maximum((length + bs - 1) // bs, 1)
+        @pl.when(i == 0)
+        def _():
+            start_slot()
 
-    def page_of(i):
-        return jnp.maximum(tbl_ref[b * P + i], 0)
+        @pl.when(i * bs < length)
+        def _():
+            qf = q_ref[s].astype(jnp.float32)  # (Hkv, rep, D)
+            qsum128 = 128.0 * jnp.sum(qf, axis=2, keepdims=True)  # (Hkv, rep, 1)
+            # j-concatenated (G, 4*bw) score lanes: l = j*bw+w -> pos i*bs+4w+j
+            l_iota = jax.lax.broadcasted_iota(jnp.int32, (G, 4 * bw), 1)
+            pos = i * bs + 4 * (l_iota % bw) + l_iota // bw
+            live = pos < length
+            for g in range(n_grp):
+                sl = slice(g * G, (g + 1) * G)
+                kg = k_blk[sl]  # (G, bw, D) int32 words
+                vg = v_blk[sl]
+                for r in range(rep):
+                    qg = qf[sl, r, :]  # (G, D) f32
+                    qs_g = qsum128[sl, r]  # (G, 1)
+                    parts = []
+                    for j in range(4):
+                        k2 = field(kg, j).reshape(G * bw, D)
+                        sx = jax.lax.dot_general(
+                            qg, k2, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )
+                        su = fold_own(sx)  # (G, bw) = sum u·q·2^8j
+                        ksj = ks_blk[j, sl, :].astype(jnp.float32)
+                        parts.append(ksj * (su * inv_j(j) - qs_g) * scale)
+                    scores = jnp.concatenate(parts, axis=1)  # (G, 4*bw)
+                    scores = jnp.where(live, scores, NEG_INF)
+                    p, alpha = update(r, sl, scores)
+                    pv = None
+                    for j in range(4):
+                        v2 = field(vg, j).reshape(G * bw, D)
+                        vsj = vs_blk[j, sl, :].astype(jnp.float32)
+                        pe = p[:, j * bw : (j + 1) * bw] * vsj  # (G, bw)
+                        pX = expand_own(pe * inv_j(j))
+                        dv = jax.lax.dot_general(
+                            pX, v2, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )
+                        dvj = dv - 128.0 * jnp.sum(pe, axis=1, keepdims=True)
+                        pv = dvj if pv is None else pv + dvj
+                    acc_ref[r, sl] = acc_ref[r, sl] * alpha + pv
 
-    if has_scales:
-        if paged and stacked:
-            kv_spec = pl.BlockSpec(
-                (None, None, Hkv, bw, D), lambda i: (li_ref[0], page_of(i), 0, 0, 0)
-            )
-            sc_spec = pl.BlockSpec(
-                (None, None, 4, Hkv, bw), lambda i: (li_ref[0], page_of(i), 0, 0, 0)
-            )
-        elif paged:
-            kv_spec = pl.BlockSpec(
-                (None, Hkv, bw, D), lambda i: (page_of(i), 0, 0, 0)
-            )
-            sc_spec = pl.BlockSpec(
-                (None, 4, Hkv, bw), lambda i: (page_of(i), 0, 0, 0)
-            )
-        elif stacked:
-            kv_spec = pl.BlockSpec(
-                (None, None, Hkv, bw, D), lambda i: (li_ref[0], b, 0, i, 0)
-            )
-            sc_spec = pl.BlockSpec(
-                (None, None, 4, Hkv, bw), lambda i: (li_ref[0], b, 0, 0, i)
-            )
+        @pl.when(i == nmax - 1)
+        def _():
+            finalize(s, length)
+
+    def blk_of(s, i):
+        """Block index for slot s at pipeline step i, clamped to the slot's
+        last live block: past-live steps re-address the resident block (no
+        HBM traffic) and the body skips their compute."""
+        nl = jnp.maximum((lens_ref[b0 + s] + bs - 1) // bs, 1)
+        return jnp.minimum(i, nl - 1)
+
+    def si(pid):
+        return pid // nmax, pid % nmax
+
+    def page_of(s, i):
+        return jnp.maximum(tbl_ref[(b0 + s) * P + blk_of(s, i)], 0)
+
+    def kv_idx(pid):
+        s, i = si(pid)
+        if paged:
+            idx = (page_of(s, i), 0, 0, 0)
         else:
-            kv_spec = pl.BlockSpec((None, Hkv, bw, D), lambda i: (b, 0, i, 0))
-            sc_spec = pl.BlockSpec((None, 4, Hkv, bw), lambda i: (b, 0, 0, i))
+            idx = (b0 + s, 0, blk_of(s, i), 0)
+        return ((li_ref[0],) + idx) if stacked else idx
+
+    def sc_idx(pid):
+        s, i = si(pid)
+        if paged:
+            idx = (page_of(s, i), 0, 0, 0)
+        else:
+            idx = (b0 + s, 0, 0, blk_of(s, i))
+        return ((li_ref[0],) + idx) if stacked else idx
+
+    lead = (None, None) if stacked else (None,)
+    if has_scales:
+        kv_spec = pl.BlockSpec(lead + (Hkv, bw, D), kv_idx)
+        sc_spec = pl.BlockSpec(lead + (4, Hkv, bw), sc_idx)
         pltpu.emit_pipeline(
-            body_int8, grid=(n_live,),
+            body_int8, grid=(SPB * nmax,),
             in_specs=[kv_spec, kv_spec, sc_spec, sc_spec],
         )(k_hbm, v_hbm, ks_hbm, vs_hbm)
     else:
-        if paged and stacked:
-            kv_spec = pl.BlockSpec(
-                (None, None, Hkv, bs, D), lambda i: (li_ref[0], page_of(i), 0, 0, 0)
-            )
-        elif paged:
-            kv_spec = pl.BlockSpec(
-                (None, Hkv, bs, D), lambda i: (page_of(i), 0, 0, 0)
-            )
-        elif stacked:
-            kv_spec = pl.BlockSpec(
-                (None, None, Hkv, bs, D), lambda i: (li_ref[0], b, 0, i, 0)
-            )
-        else:
-            kv_spec = pl.BlockSpec((None, Hkv, bs, D), lambda i: (b, 0, i, 0))
-        pltpu.emit_pipeline(body_bf16, grid=(n_live,), in_specs=[kv_spec, kv_spec])(
-            k_hbm, v_hbm
-        )
-
-    for r in range(rep):
-        denom = jnp.maximum(l_ref[r], 1e-30)
-        out = (acc_ref[r] / denom).astype(o_ref.dtype)
-        # n_live clamps to 1 even for length == 0, which would average one
-        # block of garbage rows (all scores NEG_INF -> p = 1); match the v1
-        # kernel's zeros-for-empty-slot semantics instead
-        o_ref[0, :, r, :] = jnp.where(length > 0, out, jnp.zeros_like(out))
+        kv_spec = pl.BlockSpec(lead + (Hkv, bs, D), kv_idx)
+        pltpu.emit_pipeline(
+            body_bf16, grid=(SPB * nmax,), in_specs=[kv_spec, kv_spec]
+        )(k_hbm, v_hbm)
 
 
 def _decode_attention_v2(q4, k, v, lengths, bs, rep, Hkv, D,
                          layer_idx, page_table, k_scale=None, v_scale=None):
     """pallas_call wrapper for :func:`_kernel_v2` (real TPU only)."""
     B = q4.shape[0]
+    # slots per program: the largest power of two (<= 8) dividing B — fewer
+    # Mosaic programs amortize the ~5-8 us per-program fixed cost that
+    # dominated at large B (B=32 paid it 32x per layer)
+    SPB = next(c for c in (8, 4, 2, 1) if B % c == 0)
     stacked = layer_idx is not None
     paged = page_table is not None
     has_scales = k_scale is not None
@@ -366,20 +405,20 @@ def _decode_attention_v2(q4, k, v, lengths, bs, rep, Hkv, D,
     if stacked:
         args.append(jnp.asarray(layer_idx, jnp.int32).reshape(1))
         n_prefetch += 1
-    q_index = (lambda b, *_: (b, 0, 0, 0))
+    q_index = (lambda g, *_: (g, 0, 0, 0))
     operands = [q4, k, v] + ([k_scale, v_scale] if has_scales else [])
     out = pl.pallas_call(
         functools.partial(
             _kernel_v2, bs, rep, Hkv, D, D ** -0.5, stacked, paged, P,
-            has_scales,
+            has_scales, SPB,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=n_prefetch,
-            grid=(B,),
-            in_specs=[pl.BlockSpec((1, Hkv, rep, D), q_index,
+            grid=(B // SPB,),
+            in_specs=[pl.BlockSpec((SPB, Hkv, rep, D), q_index,
                                    memory_space=pltpu.VMEM)]
             + [pl.BlockSpec(memory_space=pl.ANY)] * (len(operands) - 1),
-            out_specs=pl.BlockSpec((1, Hkv, rep, D), q_index,
+            out_specs=pl.BlockSpec((SPB, Hkv, rep, D), q_index,
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[
                 pltpu.VMEM((rep, Hkv, 1), jnp.float32),

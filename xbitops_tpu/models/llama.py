@@ -750,13 +750,16 @@ def _block(
     elif slot_ids is not None:
         # x's batch rows map to a subset of cache slots: attend those slots
         att = _attention(q, *ctx(slot_ids), mask, D ** -0.5)
-    elif T == 1 and cfg.flash_decode and D % 128 == 0 and S_cap > 256:
+    elif T == 1 and cfg.flash_decode and D % 128 == 0 and S_cap >= 256:
         # decode: length-aware kernel reads layer li of the stacked cache in
         # place; HBM traffic ~ live lengths, not the S_max allocation.  At
-        # small allocations (S <= 256) XLA's one-shot attention is faster
-        # than the blocked kernel's fixed per-program overhead; the engine
-        # additionally dispatches flash-vs-XLA per STEP on live lengths
-        # (engine.py) — this static capacity check covers standalone callers.
+        # small allocations (S < 256) XLA's one-shot attention is faster
+        # than the blocked kernel's fixed per-program overhead (amortized
+        # over up-to-8-slot programs since the multi-slot redesign — flash
+        # also skips the k_all[li]/v_all[li] slice copies XLA can't fuse,
+        # ~2.6 ms/step at B=32 S=256); the engine additionally dispatches
+        # flash-vs-XLA per STEP on live lengths (engine.py) — this static
+        # capacity check covers standalone callers.
         from xbitops_tpu.kernels.decode_attention import decode_attention
 
         lens_eff = jnp.minimum(positions[:, 0] + 1, S_cap)
