@@ -326,21 +326,14 @@ class Engine:
             self._spec_fn = spec_fn
 
         self._prefill_fn = prefill_fn
-        # Flash-vs-XLA attention is dispatched PER STEP on live lengths (the
-        # engine knows them host-side), not on the cache allocation: a
-        # long-capacity cache holding short sequences decodes through XLA's
-        # one-shot attention (cheaper below ~256 live positions); flash takes
-        # over once any slot's context grows past that.  Two compiled decode
-        # programs at most; identical (and deduped) when the allocation is
-        # too small for flash to ever engage.
+        # One decode program: since the multi-slot kernel redesign, flash
+        # decode (engaged by the model whenever S_cap >= 256) reads at most
+        # one block per slot even at tiny live lengths — never more bytes
+        # than XLA's full-allocation attention, and without the k/v
+        # layer-slice copies XLA can't fuse.  The old per-step flash-vs-XLA
+        # dispatch (two compiled programs, live-length bookkeeping that
+        # lagged under pipelining) is gone.
         self._decode_fn = make_decode_fn(cfg)  # follows cfg.flash_decode
-        self._decode_dispatch = (
-            cfg.flash_decode and cfg.max_seq_len > 256 and cfg.head_dim % 128 == 0
-        )
-        if self._decode_dispatch:
-            self._decode_fn_short = make_decode_fn(
-                dataclasses.replace(cfg, flash_decode=False)
-            )
 
     # --- paged-pool allocator (host side) ---
 
@@ -639,14 +632,6 @@ class Engine:
                     continue
 
                 decode = self._decode_fn
-                if self._decode_dispatch:
-                    # live-length dispatch: below ~256 positions XLA's one-shot
-                    # attention beats the blocked kernel's per-program overhead.
-                    # `steps` (not decode_burst) covers the pipeline case, where
-                    # slot_len trails the in-flight burst by one burst.
-                    live_max = int(slot_len[active].max()) + steps
-                    if live_max <= 256:
-                        decode = self._decode_fn_short
                 if self.pipeline:
                     # dispatch the next burst with device-resident tokens BEFORE
                     # reading in-flight ones: continuing slots chain through the
