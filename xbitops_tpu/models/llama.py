@@ -453,6 +453,12 @@ def _attention(q, kT, vT, mask, scale):
 # default CPU path takes the RMW scatters, leaving the kernel untested in CI).
 FORCE_FUSED_KV_APPEND = False
 
+# Smallest KV capacity routed to the flash-decode kernel; below it XLA's
+# one-shot attention wins on the kernel's fixed per-program Mosaic cost
+# (threshold re-measured after the multi-slot kernel amortized that cost 8x —
+# see docs/PERF_NOTES.md round-3 decode-step budget).
+FLASH_MIN_S = 256
+
 
 def _interpret_mode() -> bool:
     from xbitops_tpu.kernels import common as _kc
@@ -750,7 +756,7 @@ def _block(
     elif slot_ids is not None:
         # x's batch rows map to a subset of cache slots: attend those slots
         att = _attention(q, *ctx(slot_ids), mask, D ** -0.5)
-    elif T == 1 and cfg.flash_decode and D % 128 == 0 and S_cap >= 256:
+    elif T == 1 and cfg.flash_decode and D % 128 == 0 and S_cap >= FLASH_MIN_S:
         # decode: length-aware kernel reads layer li of the stacked cache in
         # place; HBM traffic ~ live lengths, not the S_max allocation.  At
         # small allocations (S < 256) XLA's one-shot attention is faster
