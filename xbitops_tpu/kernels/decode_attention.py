@@ -489,11 +489,12 @@ def decode_attention(
 
     # real-TPU fast path: one program per slot, inner dynamic-grid pipeline
     # over its live blocks (emit_pipeline has no interpreter support).
-    # Paged int8 needs 128-word-aligned pages (page_size % 512) for the
-    # pipelined scale slices; smaller pages take the v1 grid kernel.
-    if not interpret and S % bs == 0 and not (
-        has_scales and paged and bw % 128
-    ):
+    # int8 blocks need 128-word-aligned scale rows (bs % 512 == 0, i.e.
+    # paged page_size % 512 / dense S >= 512) for the pipelined scale
+    # slices — the (4, Hkv, bw) blocks' bw minor can't go below one lane
+    # tile (Mosaic rejects the sub-128 minor; measured: dense int8 at
+    # S=128 failed to compile).  Smaller shapes take the v1 grid kernel.
+    if not interpret and S % bs == 0 and not (has_scales and bw % 128):
         out = _decode_attention_v2(
             q4, k, v, lengths, bs, rep, Hkv, D, layer_idx, page_table,
             k_scale=k_scale, v_scale=v_scale,
