@@ -19,7 +19,8 @@ step functions swap for shard_map versions).
 from __future__ import annotations
 
 import dataclasses
-from collections import deque
+import time
+from collections import defaultdict, deque
 from functools import partial
 from typing import Callable, List, Optional, Sequence
 
@@ -284,12 +285,20 @@ class Engine:
 
             @partial(jax.jit, donate_argnums=(1,))
             def decode_fn(params, cache, tokens, active, key, temps):
-                """Run `burst` chained decode steps; returns tokens [burst, B].
+                """Run `burst` chained decode steps; returns (tokens [burst, B],
+                next PRNG key, cache).
 
                 Slots that hit a stop condition mid-burst keep decoding garbage
                 (the host discards it); out-of-capacity positions self-mask via
-                the drop-scatter semantics in models/llama.py.
+                the drop-scatter semantics in models/llama.py.  The key chain
+                advances ON DEVICE (the returned key feeds the next burst): on
+                a high-latency link every host-issued operation costs a round
+                trip, so the steady-state burst is exactly two — the decode
+                dispatch and the token readback (active/temps/tokens reuse
+                device-resident values unless the host changed them).
                 """
+
+                keys = jax.random.split(key, burst + 1)
 
                 def body(carry, k):
                     toks, cache = carry
@@ -298,9 +307,10 @@ class Engine:
                     nxt = jnp.where(active, nxt, 0)
                     return (nxt, cache), nxt
 
-                keys = jax.random.split(key, burst)
-                (last, cache), seq = jax.lax.scan(body, (tokens, cache), keys)
-                return seq, cache
+                (last, cache), seq = jax.lax.scan(
+                    body, (tokens, cache), keys[:burst]
+                )
+                return seq, last, keys[burst], cache
 
             return decode_fn
 
@@ -431,6 +441,10 @@ class Engine:
         slot_epoch = np.zeros(self.slots, np.int64)
         inflight: deque = deque()
         done: List[Completion] = []
+        # wall-time per loop phase, for serving-overhead diagnosis: the sum
+        # should be ~the generate() wall time; "readback" includes device
+        # compute the dispatch didn't overlap
+        lt = self.loop_stats = defaultdict(float)
 
         def finish(b: int, reason: str):
             r = slot_req[b]
@@ -464,19 +478,39 @@ class Engine:
                 if not inflight:
                     return
                 burst = inflight.popleft()
+            t_mark = time.perf_counter()
             toks = np.asarray(jax.device_get(burst["toks"]))
+            lt["readback"] += time.perf_counter() - t_mark
+            t_mark = time.perf_counter()
             sa, epochs = burst["step_active"], burst["epochs"]
             for step in range(toks.shape[0]):
                 for b in range(self.slots):
                     if sa[b] and active[b] and slot_epoch[b] == epochs[b]:
                         accept(b, int(toks[step, b]))
+            lt["host_accept"] += time.perf_counter() - t_mark
 
         in_admission: List[Request] = []
         resume_prefix: dict = {}  # id -> tokens emitted before a restart
         orig_plen: dict = {}  # id -> original prompt length
 
+        # Device-resident mirrors of the per-burst decode arguments.  On a
+        # high-latency link EVERY host-issued operation (device_put, split,
+        # index) costs a round trip, so the steady-state burst re-uses the
+        # device copies: one decode dispatch + one token readback.  Mirrors
+        # invalidate when the host changes the underlying value (admission,
+        # paged deferral, restart).
+        dev: dict = {"key": None, "last": None}
+
+        def dev_arg(name: str, np_val: np.ndarray):
+            cached = dev.get(name + "_np")
+            if cached is None or not np.array_equal(cached, np_val):
+                dev[name] = jnp.asarray(np_val)
+                dev[name + "_np"] = np_val.copy()
+            return dev[name]
+
         def run_loop():
             while pending or active.any() or inflight:
+                t_mark = time.perf_counter()
                 # admit new requests into free slots.  Short prompts batch into
                 # ONE prefill dispatch (padded rows are inert); long prompts
                 # batch too — all of them advance one chunk per dispatch, in
@@ -552,6 +586,7 @@ class Engine:
                                          slot_len, temps, active)
                         slot_epoch[b] += 1
                         accept(b, last_tok[i])
+                    dev["last"] = None  # admitted slots start from host tokens
 
                 if admit:
                     n = self.slots  # fixed row count: one compiled program
@@ -575,8 +610,10 @@ class Engine:
                                          slot_len, temps, active)
                         slot_epoch[b] += 1
                         accept(b, int(toks_np[i]))
+                    dev["last"] = None  # admitted slots start from host tokens
 
                 in_admission.clear()
+                lt["admit_prefill"] += time.perf_counter() - t_mark
 
                 if not active.any():
                     drain()
@@ -632,6 +669,11 @@ class Engine:
                     continue
 
                 decode = self._decode_fn
+                act_dev = dev_arg("active", step_active)
+                temps_dev = dev_arg("temps", temps)
+                if dev["key"] is None:
+                    dev["key"] = self._split_key()
+                t_mark = time.perf_counter()
                 if self.pipeline:
                     # dispatch the next burst with device-resident tokens BEFORE
                     # reading in-flight ones: continuing slots chain through the
@@ -646,34 +688,50 @@ class Engine:
                             & (slot_epoch == newest["epochs"])
                         )
                         toks_in = jnp.where(
-                            cont, newest["toks"][-1], jnp.asarray(cur_tok)
+                            cont, newest["last"], jnp.asarray(cur_tok)
                         )
                     else:
                         toks_in = jnp.asarray(cur_tok)
-                    toks_dev, self.cache = decode(
-                        self.params, self.cache, toks_in,
-                        jnp.asarray(step_active), self._split_key(), jnp.asarray(temps),
+                    toks_dev, last_dev, dev["key"], self.cache = decode(
+                        self.params, self.cache, toks_in, act_dev,
+                        dev["key"], temps_dev,
                     )
                     inflight.append(dict(
-                        toks=toks_dev, step_active=step_active.copy(),
-                        epochs=slot_epoch.copy(),
+                        toks=toks_dev, last=last_dev,
+                        step_active=step_active.copy(), epochs=slot_epoch.copy(),
                     ))
+                    lt["dispatch"] += time.perf_counter() - t_mark
                     # only block on the oldest burst once the pipeline is full
                     while len(inflight) > self.pipeline:
                         drain()
                     continue
 
-                toks_dev, self.cache = decode(
-                    self.params, self.cache, jnp.asarray(cur_tok),
-                    jnp.asarray(step_active), self._split_key(), jnp.asarray(temps),
+                toks_in = (
+                    dev["last"] if dev["last"] is not None
+                    else jnp.asarray(cur_tok)
                 )
+                toks_dev, last_dev, dev["key"], self.cache = decode(
+                    self.params, self.cache, toks_in, act_dev,
+                    dev["key"], temps_dev,
+                )
+                # `last` only covers slots that ran this burst: a deferred
+                # (active but not step_active) slot's row is zeroed — fall
+                # back to a host upload next burst in that case
+                dev["last"] = (
+                    last_dev if bool((step_active == active).all()) else None
+                )
+                lt["dispatch"] += time.perf_counter() - t_mark
+                t_mark = time.perf_counter()
                 toks = np.asarray(jax.device_get(toks_dev))  # [burst, B]
+                lt["readback"] += time.perf_counter() - t_mark
+                t_mark = time.perf_counter()
                 for step in range(toks.shape[0]):
                     for b in range(self.slots):
                         if step_active[b] and active[b]:
                             accept(b, int(toks[step, b]))
                     if not active.any():
                         break  # rest of the burst is garbage for every slot
+                lt["host_accept"] += time.perf_counter() - t_mark
 
 
         while True:
@@ -718,6 +776,9 @@ class Engine:
                 cur_tok[:] = 0
                 temps[:] = 0
                 slot_epoch[:] += 1
+                # device mirrors may reference poisoned post-fault buffers
+                dev.clear()
+                dev.update({"key": None, "last": None})
                 self.cache = self._cache_factory()
 
         # merge pre-restart emissions back into resumed completions
