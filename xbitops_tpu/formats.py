@@ -63,6 +63,7 @@ __all__ = [
     "dequant_reference",
     "concat_qtensors",
     "pack_planes",
+    "paired_plane_layout",
     "unpack_planes_reference",
     "from_gptq",
     "default_tile_k",
@@ -310,6 +311,33 @@ def dequant_reference(
 # ---------------------------------------------------------------------------
 
 
+def paired_plane_layout(bits: int) -> bool:
+    """True when ``bits`` stores as the single 4-bit plane, which uses the
+    PAIRED word layout (see :func:`_pack_plane_paired`): kernels then decode
+    TWO values per VPU op via an int32→bf16 (or int16) ``pltpu.bitcast``
+    instead of one shift/mask + a two-op int→bf16 convert per value.  This is
+    the headline 4-bit format's answer to the extraction cost that bounds the
+    reference's nibble decode (``gemv_w4a16_pt.cu:84-95``)."""
+    return PLANE_DECOMP[bits] == (4,)
+
+
+def paired_ok(bits: int, tile_k: int, group_size: int) -> bool:
+    """Whether this (bits, tile_k, group_size) combination stores PAIRED.
+
+    Pure function of QTensor static metadata (so it needs no extra field,
+    checkpoint entry, or pytree aux change): a kernel chunk
+    ``cs = min(tile_k/4, rows-per-scale-group)`` must be a multiple of 16 so
+    its word-row slice (``cs/2``) keeps Mosaic's 8-sublane alignment — odd
+    group sizes (not multiples of 16) fall back to the slot layout."""
+    if not paired_plane_layout(bits):
+        return False
+    gt = max(1, tile_k // group_size)
+    g_tile = tile_k // gt
+    ph = tile_k // 4  # K rows per pair slot
+    cs = min(ph, g_tile)
+    return cs % 16 == 0 and ph % cs == 0 and g_tile % cs == 0
+
+
 def _pack_plane(vals: jax.Array, pb: int, tile_k: int) -> jax.Array:
     """Pack per-plane values ``int[K, N]`` (< 2**pb) into the sublane-strided word
     layout ``int32[K/(32/pb), N]`` (see module docstring)."""
@@ -325,8 +353,39 @@ def _pack_plane(vals: jax.Array, pb: int, tile_k: int) -> jax.Array:
     return words.reshape(K // ratio, N).astype(jnp.int32)
 
 
-def pack_planes(wq: jax.Array, bits: int, tile_k: int) -> Tuple[jax.Array, ...]:
-    """Decompose integer values ``wq[K, N]`` into bit-planes and pack each."""
+def _pack_plane_paired(vals: jax.Array, tile_k: int) -> jax.Array:
+    """Pack 4-bit values ``int[K, N]`` into the PAIRED word layout
+    ``int32[K/8, N]``: within a K-tile, local row ``k = j*(tile_k/4) + 2r + h``
+    lives at bit ``4j + 16h`` of word-row ``r`` (j = pair slot 0..3,
+    h = 16-bit half).  An int32→16-bit ``bitcast`` of word rows then yields
+    rows ``2r`` (low half) interleaved with ``2r+1`` (high half) — i.e. pair
+    slot ``j`` decodes to tile_k/4 CONTIGUOUS K rows with one
+    shift+mask(+magic-or)+bitcast per word: two values per VPU op."""
+    K, N = vals.shape
+    if K % tile_k or tile_k % 8:
+        raise ValueError(f"K={K} and tile_k={tile_k} must be multiples of 8")
+    wt = tile_k // 8
+    v = vals.astype(jnp.uint32).reshape(K // tile_k, 4, wt, 2, N)
+    words = None
+    for j in range(4):
+        for h in (0, 1):
+            part = v[:, j, :, h] << np.uint32(4 * j + 16 * h)
+            words = part if words is None else words | part
+    return words.reshape(K // 8, N).astype(jnp.int32)
+
+
+def pack_planes(
+    wq: jax.Array, bits: int, tile_k: int, paired: Optional[bool] = None
+) -> Tuple[jax.Array, ...]:
+    """Decompose integer values ``wq[K, N]`` into bit-planes and pack each.
+
+    ``paired=None`` pairs whenever the width admits it; callers with a group
+    size must pass :func:`paired_ok` (as :func:`make_qtensor` does) so odd
+    group sizes keep the slot layout the kernels can chunk."""
+    if paired is None:
+        paired = paired_plane_layout(bits)
+    if paired:
+        return (_pack_plane_paired(wq & 15, tile_k),)
     planes = []
     shift = 0
     for pb in PLANE_DECOMP[bits]:
@@ -348,11 +407,29 @@ def _unpack_plane_block(words: jax.Array, pb: int) -> jax.Array:
     return jnp.concatenate(parts, axis=0)
 
 
+def _unpack_plane_block_paired(words: jax.Array) -> jax.Array:
+    """Unpack one K-tile of PAIRED 4-bit words ``(tile_k/8, n)`` → values
+    ``(tile_k, n)``: the jnp mirror of the kernels' bitcast decode."""
+    wt, N = words.shape
+    parts = []
+    for j in range(4):
+        lo = (words >> (4 * j)) & 15  # h=0 → local rows 2r
+        hi = (words >> (4 * j + 16)) & 15  # h=1 → local rows 2r+1
+        parts.append(jnp.stack([lo, hi], axis=1).reshape(2 * wt, N))
+    return jnp.concatenate(parts, axis=0)
+
+
 def unpack_planes_reference(
-    planes: Sequence[jax.Array], bits: int, tile_k: int, K: int
+    planes: Sequence[jax.Array], bits: int, tile_k: int, K: int,
+    paired: Optional[bool] = None,
 ) -> jax.Array:
     """jnp oracle: reconstruct integer values ``int32[K, N]`` from packed planes."""
     N = planes[0].shape[-1]
+    if paired is None:
+        paired = paired_plane_layout(bits)
+    if paired:
+        tiles = planes[0].reshape(K // tile_k, tile_k // 8, N)
+        return jax.vmap(_unpack_plane_block_paired)(tiles).reshape(K, N)
     wq = jnp.zeros((K, N), jnp.int32)
     shift = 0
     for plane, pb in zip(planes, PLANE_DECOMP[bits]):
@@ -416,6 +493,12 @@ class QTensor:
     def groups_per_tile(self) -> int:
         """Scale rows actually used per K-tile (<= the padded sublane count)."""
         return max(1, self.tile_k // self.group_size)
+
+    @property
+    def paired(self) -> bool:
+        """Whether ``planes`` use the PAIRED 4-bit layout (derived from the
+        static metadata — see :func:`paired_ok`)."""
+        return paired_ok(self.bits, self.tile_k, self.group_size)
 
     def bytes_packed(self) -> int:
         """HBM bytes a kernel must read per full pass (roofline numerator)."""
@@ -524,7 +607,8 @@ def make_qtensor(
         scales.dtype
     )
     return QTensor(
-        planes=pack_planes(wq.astype(jnp.int32), bits, tile_k),
+        planes=pack_planes(wq.astype(jnp.int32), bits, tile_k,
+                           paired=paired_ok(bits, tile_k, g)),
         scales=tile_scales(scales.astype(scale_store_dtype), tile_k, g, K),
         scale_zeros=tile_scales(sz.astype(scale_store_dtype), tile_k, g, K),
         bits=bits,
@@ -718,7 +802,9 @@ def _expand_tiled_scales(ts: jax.Array, qt: QTensor) -> jax.Array:
 
 def dequant_qtensor_reference(qt: QTensor, out_dtype=jnp.bfloat16) -> jax.Array:
     """jnp oracle for dequantizing a QTensor (logical row/col order, unpadded)."""
-    wq = unpack_planes_reference(qt.planes, qt.bits, qt.tile_k, qt.K).astype(jnp.float32)
+    wq = unpack_planes_reference(
+        qt.planes, qt.bits, qt.tile_k, qt.K, paired=qt.paired
+    ).astype(jnp.float32)
     w = wq * _expand_tiled_scales(qt.scales, qt) - _expand_tiled_scales(qt.scale_zeros, qt)
     w = w[: qt.K_logical, : qt.shape[1]]
     if qt.perm is not None:

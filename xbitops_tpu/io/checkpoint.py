@@ -22,7 +22,10 @@ from xbitops_tpu.formats import QTensor
 
 __all__ = ["save_packed", "load_packed"]
 
-_FORMAT_VERSION = 1
+# v2: 4-bit planes switched from the sublane-strided slot layout to the
+# PAIRED layout (formats._pack_plane_paired); v1 checkpoints must be
+# re-converted from their GPTQ source (conversion is offline and cheap).
+_FORMAT_VERSION = 2
 
 
 def _encode(node: Any, path: str, arrays: dict) -> dict:

@@ -6,6 +6,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+from jax.experimental.pallas import tpu as pltpu
 
 from xbitops_tpu.formats import PLANE_DECOMP
 
@@ -42,7 +43,8 @@ def pick_tile_n(N: int, prefer: int = 2048) -> int:
     return 128
 
 
-def chunk_plan(plane_bits, tile_k: int, g_tile: int) -> int:
+def chunk_plan(plane_bits, tile_k: int, g_tile: int,
+               paired: bool = False) -> int:
     """Row-chunk size for slot-structured kernels.
 
     The plane pack layout stores bit-slot ``j`` of a K-tile in bit position
@@ -51,7 +53,27 @@ def chunk_plan(plane_bits, tile_k: int, g_tile: int) -> int:
     the tile in chunks of ``cs`` rows such that every chunk lies inside a
     single slot of every plane AND a single scale group — then each chunk is a
     static slice + shift + mask per plane, no concatenate, no gather.
+
+    PAIRED layout (4-bit): pair slot ``j`` covers ``tile_k/4`` contiguous
+    local rows spread over ``tile_k/8`` word rows (two rows per word), so a
+    chunk must lie inside one pair slot and its word-row slice (``cs/2``) must
+    keep Mosaic's 8-sublane alignment — hence ``cs >= 16`` i.e. group
+    sizes >= 16 (the documented floor).
     """
+    if paired:
+        ph = tile_k // 4  # K rows per pair slot
+        cs = min(ph, g_tile)
+        if ph % cs or g_tile % cs:
+            raise ValueError(
+                f"chunk {cs} must divide pair-slot height {ph} and group "
+                f"rows {g_tile} (tile_k={tile_k})"
+            )
+        if cs % 2 or (cs // 2) % 8:
+            raise ValueError(
+                f"paired 4-bit chunks need cs multiple of 16 (got {cs}; "
+                f"group_size >= 16 required)"
+            )
+        return cs
     wt_min = tile_k // max(32 // pb for pb in plane_bits)
     cs = min(wt_min, g_tile)
     for pb in plane_bits:
@@ -105,9 +127,51 @@ def extract_plane_chunk_scaled(blk, pb: int, c: int, cs: int, tile_k: int):
     return rows & (((1 << pb) - 1) << sh), float(2.0 ** (-sh))
 
 
-def extract_chunk(plane_blocks, plane_bits, c: int, cs: int, tile_k: int):
+# bf16 1.0 = 0x3F80; adding a 4-bit value v to the mantissa field of 2^7
+# (0x4300 = 128.0) yields exactly 128 + v — so OR-ing the magic into masked
+# nibble pairs IS the int->bf16 convert, two lanes at a time.
+PAIRED_MAGIC = 0x43004300
+PAIRED_MASK = 0x000F000F
+PAIRED_BIAS = 128.0  # subtract via the zero term: sz' = sz + 128*s
+
+
+def _paired_chunk_words(blk, c: int, cs: int, tile_k: int):
+    """Word rows + pair-slot index for local rows [c*cs, (c+1)*cs) of a
+    paired-layout 4-bit K-tile (chunk_plan guarantees one pair slot)."""
+    ph = tile_k // 4  # K rows per pair slot
+    j, r0 = divmod(c * cs, ph)
+    return blk[r0 // 2 : (r0 + cs) // 2, :], j
+
+
+def extract_paired_chunk_bf16(blk, c: int, cs: int, tile_k: int):
+    """BIASED bf16 values ``(cs, tn) = 128 + q`` for local rows
+    [c*cs, (c+1)*cs): shift + mask-or-magic + bitcast — 2 VPU ops per weight
+    pair, no int->float convert.  Callers fold the +128 bias into the zero
+    term (``- asum * (sz + 128 s)``); the extra f32 cancellation is ~1e-3
+    relative, far under the bf16 fast path's own activation rounding."""
+    rows, j = _paired_chunk_words(blk, c, cs, tile_k)
+    t = rows if j == 0 else (rows >> (4 * j))
+    t = (t & PAIRED_MASK) | PAIRED_MAGIC
+    return pltpu.bitcast(t, jnp.bfloat16)
+
+
+def extract_paired_chunk_int(blk, c: int, cs: int, tile_k: int):
+    """EXACT int16 values ``(cs, tn)`` (0..15) for local rows
+    [c*cs, (c+1)*cs) — the bias-free variant for the f32-precise and int8
+    paths (int16 bitcast interleaves identically to bf16)."""
+    rows, j = _paired_chunk_words(blk, c, cs, tile_k)
+    t = rows if j == 0 else (rows >> (4 * j))
+    return pltpu.bitcast(t & PAIRED_MASK, jnp.int16)
+
+
+def extract_chunk(plane_blocks, plane_bits, c: int, cs: int, tile_k: int,
+                  paired: bool = False):
     """Integer values ``(cs, tn) int32`` for local rows [c*cs, (c+1)*cs) of a
     K-tile, combined across planes.  All slices/shifts are static."""
+    if paired:
+        return extract_paired_chunk_int(
+            plane_blocks[0], c, cs, tile_k
+        ).astype(jnp.int32)
     wq = None
     shift = 0
     for blk, pb in zip(plane_blocks, plane_bits):

@@ -29,14 +29,15 @@ from xbitops_tpu.formats import PLANE_DECOMP, QTensor
 from xbitops_tpu.kernels import common
 
 
-def _kernel(plane_bits, tile_k, gt, cs, *refs):
+def _kernel(plane_bits, tile_k, gt, cs, paired, *refs):
     n_planes = len(plane_bits)
     plane_refs = refs[:n_planes]
     s_ref, sz_ref, out_ref = refs[n_planes:]
     g_tile = tile_k // gt
     blocks = [r[...] for r in plane_refs]
     for c in range(tile_k // cs):
-        wq = common.extract_chunk(blocks, plane_bits, c, cs, tile_k)
+        wq = common.extract_chunk(blocks, plane_bits, c, cs, tile_k,
+                                  paired=paired)
         gi = (c * cs) // g_tile
         s = s_ref[0, gi, :][None, :].astype(jnp.float32)
         sz = sz_ref[0, gi, :][None, :].astype(jnp.float32)
@@ -66,7 +67,8 @@ def dequant_kernel(
     tn = tile_n or common.pick_tile_n(N, prefer=budget)
     gt = qt.groups_per_tile
     gt_pad = qt.scales.shape[1]
-    cs = common.chunk_plan(plane_bits, tk, tk // gt)
+    paired = qt.paired
+    cs = common.chunk_plan(plane_bits, tk, tk // gt, paired=paired)
 
     grid = (K // tk, common.cdiv(N, tn))
     in_specs = [
@@ -80,7 +82,7 @@ def dequant_kernel(
 
     packed_bytes = sum(p.size * 4 for p in qt.planes)
     out = pl.pallas_call(
-        functools.partial(_kernel, plane_bits, tk, gt, cs),
+        functools.partial(_kernel, plane_bits, tk, gt, cs, paired),
         grid=grid,
         in_specs=in_specs,
         out_specs=pl.BlockSpec((tk, tn), lambda i, j: (i, j), memory_space=pltpu.VMEM),

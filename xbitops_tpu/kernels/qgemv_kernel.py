@@ -48,7 +48,7 @@ from xbitops_tpu.formats import PLANE_DECOMP, QTensor
 from xbitops_tpu.kernels import common
 
 
-def _kernel(plane_bits, tile_k, gt, cs, compute_dtype, stacked, *refs):
+def _kernel(plane_bits, tile_k, gt, cs, compute_dtype, stacked, paired, *refs):
     if stacked:
         refs = refs[1:]  # drop the scalar-prefetch layer-index ref
     n_planes = len(plane_bits)
@@ -86,30 +86,51 @@ def _kernel(plane_bits, tile_k, gt, cs, compute_dtype, stacked, *refs):
     for c in range(tile_k // cs):
         a_c = a[:, c * cs : (c + 1) * cs]
         a_cd = a_c.astype(w_dtype)
-        # multi-plane widths (3/5/6/7): per-plane dots combined linearly on
-        # the OUTPUT (wq = sum_p vals_p << off_p, so a@wq = sum_p 2^off a@v_p)
-        # — skips the per-value shift-and-or recombination on the VPU.
-        # Within a plane, values are extracted mask-only at their packed bit
-        # offset and the 2^-(pb*j) slot factor (exact) is folded into the same
-        # output combination — ~2 VPU ops/weight instead of 3.
-        d = None
-        shift = 0
-        for blk, pb in zip(blocks, plane_bits):
-            vals, inv = common.extract_plane_chunk_scaled(blk, pb, c, cs, tile_k)
-            dp = jnp.dot(
-                a_cd, vals.astype(w_dtype),
+        biased = False
+        if paired and compute_dtype == jnp.bfloat16:
+            # 4-bit fast path: magic-biased bitcast decode (2 VPU ops per
+            # weight PAIR, zero converts); the +128 bias folds into the
+            # zero term below
+            wv = common.extract_paired_chunk_bf16(blocks[0], c, cs, tile_k)
+            d = jnp.dot(a_cd, wv, preferred_element_type=jnp.float32)
+            biased = True
+        elif paired:
+            # precise path keeps exact bias-free values (tight 3e-4 gate)
+            q = common.extract_paired_chunk_int(blocks[0], c, cs, tile_k)
+            d = jnp.dot(
+                a_cd, q.astype(w_dtype),
                 preferred_element_type=jnp.float32, precision=prec,
             )
-            f = float(1 << shift) * inv
-            dp = dp if f == 1.0 else f * dp
-            d = dp if d is None else d + dp
-            shift += pb
+        else:
+            # multi-plane widths (3/5/6/7): per-plane dots combined linearly
+            # on the OUTPUT (wq = sum_p vals_p << off_p, so
+            # a@wq = sum_p 2^off a@v_p) — skips the per-value shift-and-or
+            # recombination on the VPU.  Within a plane, values are extracted
+            # mask-only at their packed bit offset and the 2^-(pb*j) slot
+            # factor (exact) is folded into the same output combination —
+            # ~2 VPU ops/weight instead of 3.
+            d = None
+            shift = 0
+            for blk, pb in zip(blocks, plane_bits):
+                vals, inv = common.extract_plane_chunk_scaled(blk, pb, c, cs, tile_k)
+                dp = jnp.dot(
+                    a_cd, vals.astype(w_dtype),
+                    preferred_element_type=jnp.float32, precision=prec,
+                )
+                f = float(1 << shift) * inv
+                dp = dp if f == 1.0 else f * dp
+                d = dp if d is None else d + dp
+                shift += pb
         gi = (c * cs) // g_tile
         # out += s_g * (a_g @ wq_g) - sum(a_g) * sz_g, the zero term in true
         # f32 on the VPU (chunk sums grow ~sqrt(g); bf16 rounding here would
         # be the dominant error)
         asum_c = jnp.sum(a_c.astype(jnp.float32), axis=1, keepdims=True)
-        total = total + d * s_row(s_ref, gi) - asum_c * s_row(sz_ref, gi)
+        sr = s_row(s_ref, gi)
+        szr = s_row(sz_ref, gi)
+        if biased:
+            szr = szr + common.PAIRED_BIAS * sr
+        total = total + d * sr - asum_c * szr
     acc_ref[...] += total
 
     @pl.when(k == pl.num_programs(2) - 1)
@@ -117,7 +138,7 @@ def _kernel(plane_bits, tile_k, gt, cs, compute_dtype, stacked, *refs):
         out_ref[...] = acc_ref[...].astype(out_ref.dtype)
 
 
-def _kernel_a8(plane_bits, tile_k, gt, cs, stacked, *refs):
+def _kernel_a8(plane_bits, tile_k, gt, cs, stacked, paired, *refs):
     """Integer-activation variant (W4A8-style): int8 activations x int weight
     chunks on the MXU's s8xs8->s32 path (2x the bf16 MAC rate on v5e), group
     scales applied to the integer dot outputs in f32.
@@ -194,18 +215,27 @@ def _kernel_a8(plane_bits, tile_k, gt, cs, stacked, *refs):
         d_grp = None  # exact s32 across the group's chunks
         for c in range(c0, c0 + cpg):
             a_c = a[:, c * cs : (c + 1) * cs]
-            d = None
-            shift = 0
-            for blk, pb in zip(blocks, plane_bits):
-                vals = common.extract_plane_chunk(blk, pb, c, cs, tile_k)
-                v8 = (vals - (128 if pb == 8 else 0)).astype(jnp.int8)
-                dp = jax.lax.dot_general(
+            if paired:  # 4-bit: int16-bitcast pair decode, exact 0..15
+                v8 = common.extract_paired_chunk_int(
+                    blocks[0], c, cs, tile_k
+                ).astype(jnp.int8)
+                d = jax.lax.dot_general(
                     a_c, v8, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.int32,
                 )
-                dp = dp if shift == 0 else (dp << shift)
-                d = dp if d is None else d + dp
-                shift += pb
+            else:
+                d = None
+                shift = 0
+                for blk, pb in zip(blocks, plane_bits):
+                    vals = common.extract_plane_chunk(blk, pb, c, cs, tile_k)
+                    v8 = (vals - (128 if pb == 8 else 0)).astype(jnp.int8)
+                    dp = jax.lax.dot_general(
+                        a_c, v8, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.int32,
+                    )
+                    dp = dp if shift == 0 else (dp << shift)
+                    d = dp if d is None else d + dp
+                    shift += pb
             d_grp = d if d_grp is None else d_grp + d
         gi = (c0 * cs) // g_tile
         total = total + d_grp.astype(jnp.float32) * s_row(s_ref, gi)
@@ -226,7 +256,7 @@ def _kernel_a8(plane_bits, tile_k, gt, cs, stacked, *refs):
         out_ref[...] = acc_ref[...].astype(out_ref.dtype)
 
 
-def _kernel_a8_perchannel(plane_bits, tile_k, cs, stacked, *refs):
+def _kernel_a8_perchannel(plane_bits, tile_k, cs, stacked, paired, *refs):
     """W4A8 fast path for PER-CHANNEL scales (one group spanning all of K,
     i.e. ``groups_per_tile == 1`` and a single scale row shared by every
     K-tile): the dot outputs accumulate in pure int32 across chunks AND
@@ -260,18 +290,27 @@ def _kernel_a8_perchannel(plane_bits, tile_k, cs, stacked, *refs):
     for c in range(tile_k // cs):
         a_c = a[:, c * cs : (c + 1) * cs]
         asum_t = asum_t + jnp.sum(a_c.astype(jnp.int32), axis=1, keepdims=True)
-        d = None
-        shift = 0
-        for blk, pb in zip(blocks, plane_bits):
-            vals = common.extract_plane_chunk(blk, pb, c, cs, tile_k)
-            v8 = (vals - (128 if pb == 8 else 0)).astype(jnp.int8)
-            dp = jax.lax.dot_general(
+        if paired:  # 4-bit: int16-bitcast pair decode, exact 0..15
+            v8 = common.extract_paired_chunk_int(
+                blocks[0], c, cs, tile_k
+            ).astype(jnp.int8)
+            d = jax.lax.dot_general(
                 a_c, v8, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32,
             )
-            dp = dp if shift == 0 else (dp << shift)
-            d = dp if d is None else d + dp
-            shift += pb
+        else:
+            d = None
+            shift = 0
+            for blk, pb in zip(blocks, plane_bits):
+                vals = common.extract_plane_chunk(blk, pb, c, cs, tile_k)
+                v8 = (vals - (128 if pb == 8 else 0)).astype(jnp.int8)
+                dp = jax.lax.dot_general(
+                    a_c, v8, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )
+                dp = dp if shift == 0 else (dp << shift)
+                d = dp if d is None else d + dp
+                shift += pb
         total = total + d
     acc_ref[...] += total
     asum_ref[...] += asum_t
@@ -341,7 +380,8 @@ def qmatmul_kernel(
     compute_dtype = jnp.float32 if precise else jnp.bfloat16
     gt = qt.groups_per_tile
     gt_pad = qt.scales.shape[-2]
-    cs = common.chunk_plan(plane_bits, tk, tk // gt)
+    paired = qt.paired
+    cs = common.chunk_plan(plane_bits, tk, tk // gt, paired=paired)
 
     grid = (M // tm, common.cdiv(N, tn), K // tk)
     if stacked:
@@ -392,17 +432,19 @@ def qmatmul_kernel(
     if a8:
         if qt.group_size >= qt.K:  # per-channel scales: int32-exact fast path
             kernel = functools.partial(
-                _kernel_a8_perchannel, plane_bits, tk, cs, stacked
+                _kernel_a8_perchannel, plane_bits, tk, cs, stacked, paired
             )
             scratch = [
                 pltpu.VMEM((tm, tn), jnp.int32),
                 pltpu.VMEM((tm, 128), jnp.int32),
             ]
         else:
-            kernel = functools.partial(_kernel_a8, plane_bits, tk, gt, cs, stacked)
+            kernel = functools.partial(
+                _kernel_a8, plane_bits, tk, gt, cs, stacked, paired
+            )
     else:
         kernel = functools.partial(
-            _kernel, plane_bits, tk, gt, cs, compute_dtype, stacked
+            _kernel, plane_bits, tk, gt, cs, compute_dtype, stacked, paired
         )
     cost = pl.CostEstimate(
         flops=2 * M * N * K,
