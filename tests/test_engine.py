@@ -178,6 +178,22 @@ def test_engine_burst_matches_single_step(params):
     assert [c.finish_reason for c in a] == [c.finish_reason for c in b]
 
 
+def test_engine_no_donation_matches(params):
+    """donate_cache=False (the fast path when two cache buffers fit HBM —
+    donation triggers XLA's per-iteration VMEM re-staging of the stacked
+    scale arrays) produces identical tokens to the donating path."""
+    reqs = lambda: [
+        Request(prompt=PROMPTS[0], max_new_tokens=6),
+        Request(prompt=PROMPTS[1], max_new_tokens=3),
+        Request(prompt=PROMPTS[2], max_new_tokens=5),
+    ]
+    a = Engine(params, CFG, slots=2, decode_burst=4,
+               donate_cache=True).generate(reqs())
+    b = Engine(params, CFG, slots=2, decode_burst=4,
+               donate_cache=False).generate(reqs())
+    assert [c.tokens for c in a] == [c.tokens for c in b]
+
+
 def test_engine_chunked_prefill_matches(params):
     """A long prompt prefilled in chunks == prefilled whole (the chunk path
     attends the cache instead of itself; numerics identical shapes aside)."""

@@ -84,6 +84,7 @@ class Engine:
         page_size: int = 256,
         pipeline: int = 0,
         max_restarts: int = 0,
+        donate_cache: Optional[bool] = None,
     ):
         """``decode_burst`` chains that many decode steps in one device
         dispatch (a ``lax.scan``): host<->device round-trip latency amortizes
@@ -216,7 +217,52 @@ class Engine:
         self._cache_factory = make_cache
         self.params = params
         self.cache = make_cache()
+        if donate_cache is None:
+            # Donating the cache into the step functions lets the while-loop
+            # carry alias in place — mandatory when two cache copies + weights
+            # don't fit HBM — but it costs ~3.5 ms/step at 7B: with a donated
+            # carry, XLA's memory-space assignment re-stages the large stacked
+            # scale arrays into VMEM EVERY loop iteration instead of once per
+            # call (trace-verified: per-layer copy-start/done pairs of the
+            # f32[L,T,8,N] scale operands; no MSA/prefetch flag disables it).
+            # Without donation the staging happens once and the only cost is
+            # one fresh cache buffer per call, so prefer no-donation whenever
+            # the extra copy fits.
+            donate_cache = not self._two_caches_fit()
+        self.donate_cache = bool(donate_cache)
         self._build_step_fns(top_k, top_p)
+
+    def _two_caches_fit(self, headroom: float = 0.82) -> bool:
+        """True when weights + TWO cache buffers (the no-donation steady
+        state) fit in device memory with headroom for activations."""
+
+        def nbytes(t):
+            return sum(
+                leaf.size * leaf.dtype.itemsize
+                for leaf in jax.tree.leaves(t)
+                if hasattr(leaf, "size") and hasattr(leaf, "dtype")
+            )
+
+        dev = jax.devices()[0]
+        try:
+            stats = dev.memory_stats()
+            limit = (stats or {}).get("bytes_limit") or (stats or {}).get(
+                "bytes_reservable_limit"
+            )
+        except Exception:
+            limit = None
+        if not limit:
+            # some backends (the remote-tunnel TPU among them) report no
+            # stats — fall back to the known per-chip HBM of the device kind
+            hbm_by_kind = {
+                "TPU v4": 32e9, "TPU v5 lite": 16e9, "TPU v5e": 16e9,
+                "TPU v5": 95e9, "TPU v5p": 95e9, "TPU v6 lite": 32e9,
+                "TPU v6e": 32e9,
+            }
+            limit = hbm_by_kind.get(getattr(dev, "device_kind", ""))
+        if not limit:
+            return False  # unknown budget: keep the safe donating path
+        return nbytes(self.params) + 2 * nbytes(self.cache) <= headroom * limit
 
     # --- jitted step functions ---
 
@@ -256,8 +302,12 @@ class Engine:
             return base_prefill, base_prefill_chunks, base_decode
 
         base_prefill, base_prefill_chunks, _ = make_bases(cfg)
+        # () when two cache buffers fit HBM: donation triggers XLA's
+        # per-iteration VMEM re-staging of the stacked scale arrays (see
+        # __init__); all step fns share the policy so peak memory is uniform
+        donate = (1,) if self.donate_cache else ()
 
-        @partial(jax.jit, donate_argnums=(1,))
+        @partial(jax.jit, donate_argnums=donate)
         def prefill_fn(params, cache, tokens, true_lens, slots, key, temps):
             """Batched admission: prefill every row in one forward.  Rows with
             true_len == 0 are padding (their slot index is out of range)."""
@@ -265,7 +315,7 @@ class Engine:
             toks = sampling.sample_tokens(logits, key, temps, top_k, top_p)
             return toks, cache
 
-        @partial(jax.jit, donate_argnums=(1,))
+        @partial(jax.jit, donate_argnums=donate)
         def prefill_chunks_fn(params, cache, tokens, starts, lens, slots, resets,
                               key, temps):
             """Batched long-prompt admission: one chunk for EVERY long prompt
@@ -283,7 +333,7 @@ class Engine:
         def make_decode_fn(c):
             base_decode = make_bases(c)[2]
 
-            @partial(jax.jit, donate_argnums=(1,))
+            @partial(jax.jit, donate_argnums=donate)
             def decode_fn(params, cache, tokens, active, key, temps):
                 """Run `burst` chained decode steps; returns (tokens [burst, B],
                 next PRNG key, cache).
@@ -328,7 +378,7 @@ class Engine:
                         params, cfg, mesh, tokens, cache, axis, active=active
                     )
 
-            @partial(jax.jit, donate_argnums=(1,))
+            @partial(jax.jit, donate_argnums=donate)
             def spec_fn(params, cache, tokens, active):
                 greedy, accepted, cache = base_spec(params, cache, tokens, active)
                 return greedy, accepted, cache
