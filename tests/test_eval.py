@@ -33,7 +33,7 @@ def test_act_order_quantize_array_roundtrip():
     assert qt.perm is not None
     wd = np.asarray(formats.dequant_qtensor_reference(qt, out_dtype=jnp.float32))
     # quantization error bounded by half a step of each group's scale
-    step = np.asarray(qt.scales).max()
+    step = np.asarray(formats.decode_scale_store(qt.scales)).max()
     assert np.abs(wd - w).max() <= 0.6 * step
 
     a = (rng.standard_normal((4, 256)) * 0.5).astype(np.float32)

@@ -162,8 +162,15 @@ def test_bytes_packed():
         bits=5, group_size=64,
     )
     assert qt.tile_k == 256  # 1-bit plane needs >= 8 word sublanes per tile
-    # planes store exactly bits/weight; scales are tiled (T=1, gt padded to 8, N)
+    # planes store exactly bits/weight; scales are tiled (T=1, gt padded to 8,
+    # N); f32 source scales store f32 (4 B), fp16 sources store fp16 BITS (2 B)
     assert qt.bytes_packed() == 256 * 128 * 5 // 8 + 2 * 8 * 128 * 4
+    qt16 = formats.make_qtensor(
+        jnp.zeros((256, 128), jnp.int32), jnp.ones((4, 128), jnp.float16),
+        jnp.zeros((4, 128), jnp.int32), bits=5, group_size=64,
+    )
+    assert qt16.scales.dtype == jnp.int16  # FP16_BITS storage
+    assert qt16.bytes_packed() == 256 * 128 * 5 // 8 + 2 * 8 * 128 * 2
 
 
 def test_min_tile_k_enforced():

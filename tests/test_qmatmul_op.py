@@ -202,9 +202,10 @@ def test_requantize_a8_tile_channel():
     assert rq.bits == 8 and rq.group_size >= rq.K_logical
     wd4 = np.asarray(formats.dequant_qtensor_reference(qt, out_dtype=jnp.float32))
     wd8 = np.asarray(formats.dequant_qtensor_reference(rq, out_dtype=jnp.float32))
-    # requant rounding is bounded by half the tile grid step
-    step = np.asarray(rq.scales, np.float32).max()
-    assert np.abs(wd8 - wd4).max() <= 0.51 * step
+    # requant rounding: half a grid step, plus the clip shortfall when the
+    # fp16-rounded scale lands just UNDER range/maxq (<= maxq * 2^-12 * s)
+    step = np.asarray(formats.decode_scale_store(rq.scales)).max()
+    assert np.abs(wd8 - wd4).max() <= (0.5 + 255 * 2.0 ** -12) * step
     # a8 matmul parity vs the fake-quant oracle (per-row int8 activations)
     a = jnp.asarray(rng.standard_normal((64, K)).astype(np.float32) * 0.3)
     got = np.asarray(xb.qmatmul(a, rq, a8=True, out_dtype=jnp.float32))

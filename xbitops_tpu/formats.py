@@ -96,6 +96,33 @@ SUPPORTED_BITS = tuple(sorted(PLANE_DECOMP))
 POW2_STORAGE = {1: 1, 2: 2, 3: 4, 4: 4, 5: 8, 6: 8, 7: 8, 8: 8}
 AUTO_PAD_WIDTHS = frozenset({3, 7})
 
+# Default scale storage: binary16 BIT PATTERNS in int16 arrays.  GPTQ
+# checkpoints carry fp16 scales, and the reference's dequant FMA uses the
+# fp16 ``s`` / ``-s*z`` operands directly (``unpack_weight_2_to_7.cu:64,75``)
+# — storing the bits is therefore exact-to-reference AND halves the scale
+# stream vs f32 (~0.4 GB/step at 7B).  Mosaic kernels can't load fp16
+# (hardware rule), so the rows decode to f32 in-kernel with ~8 VPU ops per
+# (1, tn) row (kernels.common.decode_f16_bits — exact, incl. subnormals).
+FP16_BITS = "fp16_bits"
+
+
+def encode_scale_store(arr: jax.Array, store_dtype) -> jax.Array:
+    """Encode a float scale array for storage (see ``FP16_BITS``)."""
+    if store_dtype == FP16_BITS:
+        return jax.lax.bitcast_convert_type(
+            arr.astype(jnp.float16), jnp.int16
+        )
+    return arr.astype(store_dtype)
+
+
+def decode_scale_store(arr: jax.Array) -> jax.Array:
+    """Stored scale array -> f32 (jnp path; kernels decode in-Mosaic)."""
+    if arr.dtype == jnp.int16:
+        return jax.lax.bitcast_convert_type(arr, jnp.float16).astype(
+            jnp.float32
+        )
+    return arr.astype(jnp.float32)
+
 
 def resolve_storage_bits(bits: int, storage_bits) -> int:
     """Resolve a ``storage_bits`` spec (None/"packed", "auto", or an int) to the
@@ -179,12 +206,17 @@ def quantize(
         if sym:
             amax = np.abs(blk).max(axis=0)
             scale = np.maximum(amax / (maxq / 2), 1e-8)
+            # fp16 scale BEFORE choosing q: deployed scales are fp16 (GPTQ
+            # checkpoint convention / FP16_BITS storage), so q and zero must
+            # compensate the rounded scale, like real GPTQ quantizers
+            scale = scale.astype(np.float16).astype(np.float64)
             zero = np.full(N, (maxq + 1) // 2, np.float64)
         else:
             lo, hi = blk.min(axis=0), blk.max(axis=0)
             lo = np.minimum(lo, 0)
             hi = np.maximum(hi, 0)
             scale = np.maximum((hi - lo) / maxq, 1e-8)
+            scale = scale.astype(np.float16).astype(np.float64)  # see above
             zero = np.clip(np.round(-lo / scale), 0, maxq)
         q = np.clip(np.round(blk / scale + zero), 0, maxq)
         wq[g * group_size : (g + 1) * group_size] = q.astype(np.uint8)
@@ -558,7 +590,7 @@ def make_qtensor(
     add_zero_bias: int = 0,
     tile_k: Optional[int] = None,
     perm: Optional[jax.Array] = None,
-    scale_store_dtype=jnp.float32,
+    scale_store_dtype=None,
     storage_bits=None,
 ) -> QTensor:
     """Build a QTensor from unpacked integer values + per-group scale/zero.
@@ -566,12 +598,18 @@ def make_qtensor(
     ``scale_zeros`` is computed as ``round_to(scales.dtype, s*(z+bias))`` then stored
     in ``scale_store_dtype`` so fp16-checkpoint numerics survive exactly (mirrors the
     reference's half-precision ``-s*z`` operand, ``unpack_weight_2_to_7.cu:64,75``).
+    ``None`` follows the scales dtype: fp16 in → ``FP16_BITS`` (bit-exact,
+    half the f32 stream; see module constant), anything else → f32 (exact).
 
     ``storage_bits`` (None/"packed" | "auto" | int): plane width to store at —
     "auto" pads multi-plane widths (3/5/6/7) to the next power of two for the
     single-plane kernel's speed (see ``resolve_storage_bits``); the quantized
     values and scale/zero math are unchanged either way.
     """
+    if scale_store_dtype is None:  # follow the source (see docstring)
+        scale_store_dtype = (
+            FP16_BITS if scales.dtype == jnp.float16 else jnp.float32
+        )
     K_logical, N = wq.shape
     g = group_size
     value_bits = None
@@ -609,8 +647,14 @@ def make_qtensor(
     return QTensor(
         planes=pack_planes(wq.astype(jnp.int32), bits, tile_k,
                            paired=paired_ok(bits, tile_k, g)),
-        scales=tile_scales(scales.astype(scale_store_dtype), tile_k, g, K),
-        scale_zeros=tile_scales(sz.astype(scale_store_dtype), tile_k, g, K),
+        scales=encode_scale_store(
+            tile_scales(scales.astype(jnp.float32), tile_k, g, K),
+            scale_store_dtype,
+        ),
+        scale_zeros=encode_scale_store(
+            tile_scales(sz.astype(jnp.float32), tile_k, g, K),
+            scale_store_dtype,
+        ),
         bits=bits,
         group_size=g,
         tile_k=tile_k,
@@ -636,7 +680,7 @@ def from_gptq(
     add_zero_bias: int = 0,
     g_idx: Optional[jax.Array] = None,
     tile_k: Optional[int] = None,
-    scale_store_dtype=jnp.float32,
+    scale_store_dtype=None,
     storage_bits=None,
 ) -> QTensor:
     """Convert a GPTQ-format checkpoint tensor to the TPU-native layout.
@@ -644,7 +688,14 @@ def from_gptq(
     Act-order (``g_idx``) rows are sorted into contiguous groups here, at load time,
     so kernels stay gather-free (the exllama approach to the reference's
     ``VecQuant4MatMulKernel_G`` path, ``quant_cuda_kernel.cu:311-323``).
+
+    ``scale_store_dtype=None`` follows the checkpoint: fp16 scales store as
+    ``FP16_BITS`` (bit-exact, half the stream), anything else as f32 (exact).
     """
+    if scale_store_dtype is None:
+        scale_store_dtype = (
+            FP16_BITS if scales.dtype == jnp.float16 else jnp.float32
+        )
     K, N = in_features, scales.shape[1]
     wq = gptq_unpack_weight(qweight, bits, K)
     zeros = gptq_unpack_zeros(qzeros, bits, N)
@@ -669,7 +720,7 @@ def make_row_sharded_qtensor(
     row_shards: int,
     add_zero_bias: int = 0,
     tile_k: Optional[int] = None,
-    scale_store_dtype=jnp.float32,
+    scale_store_dtype=None,
     storage_bits=None,
     perm: Optional[jax.Array] = None,
 ) -> QTensor:
@@ -694,6 +745,10 @@ def make_row_sharded_qtensor(
     """
     import math
 
+    if scale_store_dtype is None:  # follow the checkpoint (see from_gptq)
+        scale_store_dtype = (
+            FP16_BITS if scales.dtype == jnp.float16 else jnp.float32
+        )
     K, N = wq.shape
     if perm is not None and tuple(perm.shape) != (row_shards, K // row_shards):
         raise ValueError(
@@ -795,7 +850,7 @@ def _expand_tiled_scales(ts: jax.Array, qt: QTensor) -> jax.Array:
     """Tiled scales ``[T, gt_pad, N]`` → per-row ``[K, N]`` (oracle use only)."""
     gt = qt.groups_per_tile
     rows_per = qt.tile_k // gt
-    s = ts[:, :gt, :].astype(jnp.float32)  # (T, gt, N)
+    s = decode_scale_store(ts[:, :gt, :])  # (T, gt, N)
     s = jnp.repeat(s.reshape(-1, qt.N), rows_per, axis=0)
     return s  # (K, N)
 

@@ -138,7 +138,7 @@ def load_autogptq(
     max_seq_len: Optional[int] = None,
     add_zero_bias: Optional[int] = None,
     dtype=jnp.bfloat16,
-    scale_store_dtype=jnp.float32,
+    scale_store_dtype=None,
     fuse: bool = True,
     storage_bits=None,
 ) -> Tuple[dict, LlamaConfig]:

@@ -127,6 +127,37 @@ def extract_plane_chunk_scaled(blk, pb: int, c: int, cs: int, tile_k: int):
     return rows & (((1 << pb) - 1) << sh), float(2.0 ** (-sh))
 
 
+def decode_f16_bits(b16):
+    """EXACT binary16 -> f32 from int16 bit patterns, VPU-only ops (Mosaic
+    can't load fp16 — scale rows store fp16 BITS and decode here; ~8 lane
+    ops on a (rows, tn) scale block, ~1% of the weight-chunk work).
+
+    normals:     bits' = sign | ((mag << 13) + ((127-15) << 23))
+    subnormals:  mant * 2^-24 (exact in f32), sign applied
+    inf/nan:     exponent forced to 255, mantissa preserved
+    """
+    b = b16.astype(jnp.int32) & 0xFFFF
+    sign = (b & 0x8000) << 16
+    mag = b & 0x7FFF
+    exp = mag >> 10
+    mant = mag & 0x3FF
+    norm = (mag << 13) + 0x38000000  # exponent rebias 15 -> 127
+    out_bits = jnp.where(
+        exp == 31, sign | 0x7F800000 | (mant << 13), sign | norm
+    )
+    out = jax.lax.bitcast_convert_type(out_bits, jnp.float32)
+    sub = mant.astype(jnp.float32) * jnp.float32(2.0 ** -24)
+    sub = jnp.where(sign != 0, -sub, sub)
+    return jnp.where(exp == 0, sub, out)
+
+
+def to_f32_scale(x):
+    """Scale row/block -> f32: fp16-bit int16 storage decodes, floats cast."""
+    if x.dtype == jnp.int16:
+        return decode_f16_bits(x)
+    return x.astype(jnp.float32)
+
+
 # bf16 1.0 = 0x3F80; adding a 4-bit value v to the mantissa field of 2^7
 # (0x4300 = 128.0) yields exactly 128 + v — so OR-ing the magic into masked
 # nibble pairs IS the int->bf16 convert, two lanes at a time.

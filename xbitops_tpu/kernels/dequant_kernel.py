@@ -35,12 +35,15 @@ def _kernel(plane_bits, tile_k, gt, cs, paired, *refs):
     s_ref, sz_ref, out_ref = refs[n_planes:]
     g_tile = tile_k // gt
     blocks = [r[...] for r in plane_refs]
+    # whole-block scale decode (full sublane occupancy; see qgemv_kernel)
+    s_all = common.to_f32_scale(s_ref[0])
+    sz_all = common.to_f32_scale(sz_ref[0])
     for c in range(tile_k // cs):
         wq = common.extract_chunk(blocks, plane_bits, c, cs, tile_k,
                                   paired=paired)
         gi = (c * cs) // g_tile
-        s = s_ref[0, gi, :][None, :].astype(jnp.float32)
-        sz = sz_ref[0, gi, :][None, :].astype(jnp.float32)
+        s = s_all[gi][None, :]
+        sz = sz_all[gi][None, :]
         w = wq.astype(jnp.float32) * s - sz
         out_ref[c * cs : (c + 1) * cs, :] = w.astype(out_ref.dtype)
 

@@ -72,10 +72,14 @@ def _kernel(plane_bits, tile_k, gt, cs, compute_dtype, stacked, paired, *refs):
     # rate even at default precision.
     w_dtype = compute_dtype
 
-    def s_row(ref, gi):
-        return (ref[0, 0, gi, :] if stacked else ref[0, gi, :])[None, :].astype(
-            jnp.float32
-        )
+    # decode the tile's WHOLE scale blocks once — fp16-bit decode on a
+    # (gt_pad, tn) block keeps full sublane occupancy; per-(1, tn)-row
+    # decodes waste 7/8 of the VPU (measured: -4% whole-kernel)
+    s_all = common.to_f32_scale(s_ref[0, 0] if stacked else s_ref[0])
+    sz_all = common.to_f32_scale(sz_ref[0, 0] if stacked else sz_ref[0])
+
+    def s_row(blk, gi):
+        return blk[gi][None, :]
 
     # TPU MXU evaluates f32 dots at bf16 precision unless told otherwise — the
     # precise path must demand true f32 (reference f32-accum variant,
@@ -126,8 +130,8 @@ def _kernel(plane_bits, tile_k, gt, cs, compute_dtype, stacked, paired, *refs):
         # f32 on the VPU (chunk sums grow ~sqrt(g); bf16 rounding here would
         # be the dominant error)
         asum_c = jnp.sum(a_c.astype(jnp.float32), axis=1, keepdims=True)
-        sr = s_row(s_ref, gi)
-        szr = s_row(sz_ref, gi)
+        sr = s_row(s_all, gi)
+        szr = s_row(sz_all, gi)
         if biased:
             szr = szr + common.PAIRED_BIAS * sr
         total = total + d * sr - asum_c * szr
@@ -188,15 +192,15 @@ def _kernel_a8(plane_bits, tile_k, gt, cs, stacked, paired, *refs):
     blocks = [(r[0] if stacked else r[...]) for r in plane_refs]
     a = a_ref[...]  # int8 (tm, tile_k)
 
-    def s_row(ref, gi):
-        return (ref[0, 0, gi, :] if stacked else ref[0, gi, :])[None, :].astype(
-            jnp.float32
-        )
-
     def s_blk(ref):
         # all (padded) scale rows of this K-tile: (gt_pad, tn) f32; padded
         # rows are harmless — their asum columns are zero by construction
-        return (ref[0, 0] if stacked else ref[0]).astype(jnp.float32)
+        return common.to_f32_scale(ref[0, 0] if stacked else ref[0])
+
+    s_all = s_blk(s_ref)  # whole-block decode: full sublane occupancy
+
+    def s_row(blk, gi):
+        return blk[gi][None, :]
 
     gt_pad = s_ref.shape[-2]
     # per-group activation sums via one MXU dot (exact s32): group-onehot
@@ -238,10 +242,10 @@ def _kernel_a8(plane_bits, tile_k, gt, cs, stacked, paired, *refs):
                     shift += pb
             d_grp = d if d_grp is None else d_grp + d
         gi = (c0 * cs) // g_tile
-        total = total + d_grp.astype(jnp.float32) * s_row(s_ref, gi)
+        total = total + d_grp.astype(jnp.float32) * s_row(s_all, gi)
     szb = s_blk(sz_ref)
     if plane_bits == (8,):  # fold the 8-bit plane's -128 offset correction
-        szb = szb - 128.0 * s_blk(s_ref)
+        szb = szb - 128.0 * s_all
     # zero term: one (tm, gt_pad) x (gt_pad, tn) dot; HIGHEST because asum
     # needs more than bf16's 8 mantissa bits (values up to 127*g_tile)
     total = total - jax.lax.dot_general(
@@ -318,11 +322,11 @@ def _kernel_a8_perchannel(plane_bits, tile_k, cs, stacked, paired, *refs):
     @pl.when(k == pl.num_programs(2) - 1)
     def _():
         # single rescale: out = s*(d + 128*asum if 8-bit plane) - sz*asum
-        sr = (s_ref[0, 0, 0, :] if stacked else s_ref[0, 0, :])[None, :].astype(
-            jnp.float32
+        sr = common.to_f32_scale(
+            (s_ref[0, 0, 0, :] if stacked else s_ref[0, 0, :])[None, :]
         )
-        szr = (sz_ref[0, 0, 0, :] if stacked else sz_ref[0, 0, :])[None, :].astype(
-            jnp.float32
+        szr = common.to_f32_scale(
+            (sz_ref[0, 0, 0, :] if stacked else sz_ref[0, 0, :])[None, :]
         )
         asum = asum_ref[:, :1].astype(jnp.float32)
         d = acc_ref[...].astype(jnp.float32)

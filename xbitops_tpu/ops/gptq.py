@@ -43,6 +43,9 @@ def _find_params(wg: jax.Array, maxq: int) -> Tuple[jax.Array, jax.Array]:
     lo = jnp.minimum(jnp.min(wg, axis=0), 0.0)
     hi = jnp.maximum(jnp.max(wg, axis=0), 0.0)
     scale = jnp.maximum((hi - lo) / maxq, 1e-8)
+    # fp16 scale BEFORE q/zero so they compensate the deployed (FP16_BITS)
+    # value — keeps the identity-Hessian == formats.quantize gate exact
+    scale = scale.astype(jnp.float16).astype(jnp.float32)
     zero = jnp.clip(jnp.round(-lo / scale), 0, maxq)
     return scale, zero
 
@@ -162,7 +165,7 @@ def gptq_quantize_array(
     act_order: bool = False,
     percdamp: float = 0.01,
     tile_k: Optional[int] = None,
-    scale_store_dtype=jnp.float32,
+    scale_store_dtype=formats.FP16_BITS,
 ) -> QTensor:
     """GPTQ-quantize and pack into the TPU layout in one step."""
     wq, scales, zeros, perm = gptq_quantize_weight(

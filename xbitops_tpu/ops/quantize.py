@@ -24,7 +24,7 @@ def quantize_array(
     group_size: int = 128,
     sym: bool = False,
     tile_k: Optional[int] = None,
-    scale_store_dtype=jnp.float32,
+    scale_store_dtype=formats.FP16_BITS,
     scale_round_dtype=None,
     row_shards: int = 1,
     act_order: bool = False,
@@ -67,20 +67,24 @@ def quantize_array(
     G = Kp // group_size
     maxq = (1 << bits) - 1
     wg = wf.reshape(G, group_size, N)
+    if scale_round_dtype is None:
+        # deployed scales are fp16 (FP16_BITS storage): round BEFORE choosing
+        # q/zero so they compensate the stored value, like real GPTQ
+        scale_round_dtype = jnp.float16
     if sym:
         amax = jnp.max(jnp.abs(wg), axis=1)
         scale = jnp.maximum(amax / (maxq / 2), 1e-8)
+        scale = scale.astype(scale_round_dtype).astype(jnp.float32)
         zero = jnp.full((G, N), (maxq + 1) // 2, jnp.float32)
     else:
         lo = jnp.minimum(jnp.min(wg, axis=1), 0.0)
         hi = jnp.maximum(jnp.max(wg, axis=1), 0.0)
         scale = jnp.maximum((hi - lo) / maxq, 1e-8)
-        zero = jnp.clip(jnp.round(-lo / scale), 0, maxq)
-    if scale_round_dtype is not None:
         scale = scale.astype(scale_round_dtype).astype(jnp.float32)
+        zero = jnp.clip(jnp.round(-lo / scale), 0, maxq)
     q = jnp.clip(jnp.round(wg / scale[:, None, :] + zero[:, None, :]), 0, maxq)
     wq = q.reshape(Kp, N).astype(jnp.int32)[:K]
-    scale = scale.astype(scale_round_dtype or jnp.float32)
+    scale = scale.astype(scale_round_dtype)
     zero = zero.astype(jnp.int32)
     if row_shards > 1:
         return formats.make_row_sharded_qtensor(

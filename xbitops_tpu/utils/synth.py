@@ -87,8 +87,8 @@ def random_qtensor(
     z = jax.random.uniform(ksz, (T, gt_pad, N), jnp.float32, 0.4 * maxq, 0.6 * maxq)
     return QTensor(
         planes=tuple(planes),
-        scales=scales,
-        scale_zeros=scales * z,
+        scales=formats.encode_scale_store(scales, formats.FP16_BITS),
+        scale_zeros=formats.encode_scale_store(scales * z, formats.FP16_BITS),
         bits=bits,
         group_size=group_size,
         tile_k=tile_k,
