@@ -230,3 +230,51 @@ def test_decode_attention_paged_int8():
     )
     want = np.asarray(ref_att(q, kd, vd, lengths))
     np.testing.assert_allclose(got, want, rtol=5e-2, atol=5e-3)
+
+
+def test_decode_attention_fused_append():
+    """kv_new: the call writes the new rows at `positions` (drop past S)
+    and attends them; matches append-then-attend exactly.  On CPU this
+    exercises the fallback composition (the fused v2 kernel is TPU-only;
+    bench.py --selfcheck drives it on-chip)."""
+    B, S, H, Hkv, D = 3, 128, 8, 4, 128
+    key = jax.random.PRNGKey(11)
+    q = jax.random.normal(key, (B, H, D), jnp.bfloat16)
+    k = jax.random.normal(jax.random.fold_in(key, 1), (B, S, Hkv, D),
+                          jnp.bfloat16) * 0.3
+    v = jax.random.normal(jax.random.fold_in(key, 2), (B, S, Hkv, D),
+                          jnp.bfloat16) * 0.3
+    kn = jax.random.normal(jax.random.fold_in(key, 3), (B, Hkv, D),
+                           jnp.bfloat16) * 0.3
+    vn = jax.random.normal(jax.random.fold_in(key, 4), (B, Hkv, D),
+                           jnp.bfloat16) * 0.3
+    positions = jnp.asarray([0, 77, S], jnp.int32)  # last is a drop (>= S)
+    lens = jnp.minimum(positions + 1, S)
+    kT, vT = hmT(k), hmT(v)
+    b_i = jnp.arange(B)[:, None, None]
+    h_i = jnp.arange(Hkv)[None, :, None]
+    kT2 = kT.at[(b_i, h_i, positions[:, None, None])].set(
+        kn[:, :, None, :], mode="drop")
+    vT2 = vT.at[(b_i, h_i, positions[:, None, None])].set(
+        vn[:, :, None, :], mode="drop")
+    want = np.asarray(decode_attention(q, kT2, vT2, lens, block_s=64),
+                      np.float32)
+
+    # flat cache
+    got, k_upd, v_upd = decode_attention(
+        q, kT, vT, lens, block_s=64, kv_new=(kn, vn, positions))
+    np.testing.assert_allclose(np.asarray(got, np.float32), want,
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(k_upd), np.asarray(kT2))
+    np.testing.assert_array_equal(np.asarray(v_upd), np.asarray(vT2))
+
+    # stacked cache: only the indexed layer changes
+    L = 2
+    got, k_upd, v_upd = decode_attention(
+        q, jnp.stack([kT] * L), jnp.stack([vT] * L), lens, block_s=64,
+        layer_idx=jnp.int32(1), kv_new=(kn, vn, positions))
+    np.testing.assert_allclose(np.asarray(got, np.float32), want,
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(k_upd[1]), np.asarray(kT2))
+    np.testing.assert_array_equal(np.asarray(k_upd[0]), np.asarray(kT))
+    np.testing.assert_array_equal(np.asarray(v_upd[1]), np.asarray(vT2))

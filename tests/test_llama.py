@@ -194,10 +194,19 @@ def test_flash_decode_matches_xla_attention():
     _, cache_f = llama.prefill(params, cfg_f, tokens, cache_f)
     _, cache_x = llama.prefill(params, cfg_x, tokens, cache_x)
     nxt = jnp.asarray([3, 7], jnp.int32)
-    lf, _ = llama.decode_step(params, cfg_f, nxt, cache_f)
-    lx, _ = llama.decode_step(params, cfg_x, nxt, cache_x)
+    lf, cache_f = llama.decode_step(params, cfg_f, nxt, cache_f)
+    lx, cache_x = llama.decode_step(params, cfg_x, nxt, cache_x)
     np.testing.assert_allclose(
         np.asarray(lf, np.float32), np.asarray(lx, np.float32), rtol=3e-2, atol=3e-2
+    )
+    # chain a second step: the fused-append flash path must have written the
+    # first step's k/v rows into the returned cache
+    nxt2 = jnp.asarray([9, 2], jnp.int32)
+    lf2, _ = llama.decode_step(params, cfg_f, nxt2, cache_f)
+    lx2, _ = llama.decode_step(params, cfg_x, nxt2, cache_x)
+    np.testing.assert_allclose(
+        np.asarray(lf2, np.float32), np.asarray(lx2, np.float32),
+        rtol=3e-2, atol=3e-2,
     )
 
 

@@ -165,13 +165,17 @@ def _kernel(bs, rep, Hkv, D, scale, stacked, has_scales, paged, *refs):
 
 
 def _kernel_v2(bs, rep, Hkv, D, scale, stacked, paged, P, has_scales, SPB,
-               *refs):
+               fused, S_cap, *refs):
     refs = list(refs)
     lens_ref = refs.pop(0)
     tbl_ref = refs.pop(0) if paged else None
     li_ref = refs.pop(0) if stacked else None
+    pos_ref = refs.pop(0) if fused else None
     if has_scales:
         q_ref, k_hbm, v_hbm, ks_hbm, vs_hbm, o_ref, m_ref, l_ref, acc_ref = refs
+    elif fused:
+        (q_ref, k_hbm, v_hbm, kn_ref, vn_ref, o_ref, ko_hbm, vo_hbm,
+         m_ref, l_ref, acc_ref, kslab, vslab, sem) = refs
     else:
         q_ref, k_hbm, v_hbm, o_ref, m_ref, l_ref, acc_ref = refs
     # SPB slots share one program: the ~5-8 us Mosaic per-program fixed cost
@@ -182,6 +186,66 @@ def _kernel_v2(bs, rep, Hkv, D, scale, stacked, paged, P, has_scales, SPB,
     # block, which the scheduler already holds — no HBM traffic — and skips
     # compute).
     b0 = pl.program_id(0) * SPB
+
+    if fused:
+        # FUSED KV APPEND: read-modify-write each slot's SLAB-row-aligned
+        # cache window (single rows can't address HBM's (8, 128) tiling) in
+        # the same kernel, before the read pipeline — the rows land in each
+        # slot's LAST live block, read at its final pipeline step, long
+        # after these waits.  Replaces the separate kv_append_dense call;
+        # all 2*SPB reads (then writes) fly concurrently.
+        SLAB = kslab.shape[-2]
+
+        def slab_slice(s):
+            pos = pos_ref[b0 + s]
+            safe = jnp.where(pos < S_cap, jnp.maximum(pos, 0), 0)
+            start = pl.multiple_of((safe // SLAB) * SLAB, SLAB)
+            lead = (li_ref[0],) if stacked else ()
+            return lead + (b0 + s, slice(None), pl.ds(start, SLAB),
+                           slice(None))
+
+        def valid(s):
+            return jnp.logical_and(pos_ref[b0 + s] >= 0,
+                                   pos_ref[b0 + s] < S_cap)
+
+        for s in range(SPB):
+            @pl.when(valid(s))
+            def _(s=s):
+                sl = slab_slice(s)
+                pltpu.make_async_copy(
+                    k_hbm.at[sl], kslab.at[s], sem.at[s, 0]).start()
+                pltpu.make_async_copy(
+                    v_hbm.at[sl], vslab.at[s], sem.at[s, 1]).start()
+
+        kn_all = kn_ref[...]  # (SPB, Hkv, D) new rows, already in VMEM
+        vn_all = vn_ref[...]
+        for s in range(SPB):
+            @pl.when(valid(s))
+            def _(s=s):
+                sl = slab_slice(s)
+                pltpu.make_async_copy(
+                    k_hbm.at[sl], kslab.at[s], sem.at[s, 0]).wait()
+                pltpu.make_async_copy(
+                    v_hbm.at[sl], vslab.at[s], sem.at[s, 1]).wait()
+                row = pos_ref[b0 + s] % SLAB
+                hit = jax.lax.broadcasted_iota(
+                    jnp.int32, kslab.shape[1:], 1) == row
+                kslab[s] = jnp.where(hit, kn_all[s][:, None, :], kslab[s])
+                vslab[s] = jnp.where(hit, vn_all[s][:, None, :], vslab[s])
+                pltpu.make_async_copy(
+                    kslab.at[s], ko_hbm.at[sl], sem.at[s, 0]).start()
+                pltpu.make_async_copy(
+                    vslab.at[s], vo_hbm.at[sl], sem.at[s, 1]).start()
+
+        for s in range(SPB):
+            @pl.when(valid(s))
+            def _(s=s):
+                sl = slab_slice(s)
+                pltpu.make_async_copy(
+                    kslab.at[s], ko_hbm.at[sl], sem.at[s, 0]).wait()
+                pltpu.make_async_copy(
+                    vslab.at[s], vo_hbm.at[sl], sem.at[s, 1]).wait()
+
     G = _pick_group(Hkv)
     n_grp = Hkv // G
     bw = bs // 4
@@ -386,8 +450,14 @@ def _kernel_v2(bs, rep, Hkv, D, scale, stacked, paged, P, has_scales, SPB,
 
 
 def _decode_attention_v2(q4, k, v, lengths, bs, rep, Hkv, D,
-                         layer_idx, page_table, k_scale=None, v_scale=None):
-    """pallas_call wrapper for :func:`_kernel_v2` (real TPU only)."""
+                         layer_idx, page_table, k_scale=None, v_scale=None,
+                         kv_new=None):
+    """pallas_call wrapper for :func:`_kernel_v2` (real TPU only).
+
+    ``kv_new=(k_new [B,Hkv,D], v_new, positions [B])``: write the new rows
+    into the (aliased) cache inside the SAME kernel before attending —
+    replaces a separate kv_append call.  Dense bf16 caches only; returns
+    ``(out, k, v)``."""
     B = q4.shape[0]
     # slots per program: the largest power of two (<= 8) dividing B — fewer
     # Mosaic programs amortize the ~5-8 us per-program fixed cost that
@@ -405,33 +475,97 @@ def _decode_attention_v2(q4, k, v, lengths, bs, rep, Hkv, D,
     if stacked:
         args.append(jnp.asarray(layer_idx, jnp.int32).reshape(1))
         n_prefetch += 1
+    fused = kv_new is not None
+    if fused:
+        assert not has_scales and not paged, "fused append: dense bf16 only"
+        k_new, v_new, positions = kv_new
+        args.append(positions.astype(jnp.int32))
+        n_prefetch += 1
     q_index = (lambda g, *_: (g, 0, 0, 0))
+    S_cap = k.shape[-2]
     operands = [q4, k, v] + ([k_scale, v_scale] if has_scales else [])
+    in_specs = (
+        [pl.BlockSpec((SPB, Hkv, rep, D), q_index, memory_space=pltpu.VMEM)]
+        + [pl.BlockSpec(memory_space=pl.ANY)] * (len(operands) - 1)
+    )
+    if fused:
+        # pin the cache operands to HBM: with ANY a small cache can land
+        # VMEM-resident, where the slab DMA's dynamic slicing hits Mosaic's
+        # packed-tile limits; HBM slab DMAs at SLAB-aligned offsets are legal
+        hbm = pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)
+        in_specs[1] = in_specs[2] = hbm
+    out_shape = jax.ShapeDtypeStruct((B, Hkv, rep, D), q4.dtype)
+    out_specs = pl.BlockSpec((SPB, Hkv, rep, D), q_index,
+                             memory_space=pltpu.VMEM)
+    scratch = [
+        pltpu.VMEM((rep, Hkv, 1), jnp.float32),
+        pltpu.VMEM((rep, Hkv, 1), jnp.float32),
+        pltpu.VMEM((rep, Hkv, D), jnp.float32),
+    ]
+    alias = {}
+    if fused:
+        slab_rows = 32 // jnp.dtype(k.dtype).itemsize  # HBM sublane tile
+        operands += [k_new.reshape(B, Hkv, D).astype(k.dtype),
+                     v_new.reshape(B, Hkv, D).astype(v.dtype)]
+        kn_index = (lambda g, *_: (g, 0, 0))
+        in_specs += [pl.BlockSpec((SPB, Hkv, D), kn_index,
+                                  memory_space=pltpu.VMEM)] * 2
+        out_shape = [out_shape,
+                     jax.ShapeDtypeStruct(k.shape, k.dtype),
+                     jax.ShapeDtypeStruct(v.shape, v.dtype)]
+        out_specs = [out_specs,
+                     pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+                     pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)]
+        scratch += [
+            pltpu.VMEM((SPB, Hkv, slab_rows, D), k.dtype),
+            pltpu.VMEM((SPB, Hkv, slab_rows, D), v.dtype),
+            pltpu.SemaphoreType.DMA((SPB, 2)),
+        ]
+        # aliases index ALL call operands (scalar-prefetch included):
+        # k/v sit right after q at n_prefetch + 1 / + 2
+        alias = {n_prefetch + 1: 1, n_prefetch + 2: 2}
     out = pl.pallas_call(
         functools.partial(
             _kernel_v2, bs, rep, Hkv, D, D ** -0.5, stacked, paged, P,
-            has_scales, SPB,
+            has_scales, SPB, fused, S_cap,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=n_prefetch,
             grid=(B // SPB,),
-            in_specs=[pl.BlockSpec((SPB, Hkv, rep, D), q_index,
-                                   memory_space=pltpu.VMEM)]
-            + [pl.BlockSpec(memory_space=pl.ANY)] * (len(operands) - 1),
-            out_specs=pl.BlockSpec((SPB, Hkv, rep, D), q_index,
-                                   memory_space=pltpu.VMEM),
-            scratch_shapes=[
-                pltpu.VMEM((rep, Hkv, 1), jnp.float32),
-                pltpu.VMEM((rep, Hkv, 1), jnp.float32),
-                pltpu.VMEM((rep, Hkv, D), jnp.float32),
-            ],
+            in_specs=in_specs,
+            out_specs=out_specs,
+            scratch_shapes=scratch,
         ),
-        out_shape=jax.ShapeDtypeStruct((B, Hkv, rep, D), q4.dtype),
+        out_shape=out_shape,
+        input_output_aliases=alias,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
     )(*args, *operands)
     return out
+
+
+def _append_dense_fallback(k, v, kv_new, layer_idx, interpret):
+    """Apply the kv_new row writes separately (paths without the fused v2
+    kernel).  Stacked caches reuse the aliased kv_append kernel; flat ones
+    scatter (drop semantics for positions >= S, like the fused path)."""
+    k_new, v_new, positions = kv_new
+    if layer_idx is not None:
+        from xbitops_tpu.kernels.kv_append import kv_append_dense
+
+        return kv_append_dense(
+            k, v, k_new, v_new, positions, layer_idx, interpret=interpret
+        )
+    B, Hkv, S, _ = k.shape
+    pos = jnp.where(positions < 0, S, positions)  # positive OOB drops
+    idx = (
+        jnp.arange(B)[:, None, None],
+        jnp.arange(Hkv)[None, :, None],
+        pos[:, None, None],
+    )
+    k = k.at[idx].set(k_new[:, :, None, :].astype(k.dtype), mode="drop")
+    v = v.at[idx].set(v_new[:, :, None, :].astype(v.dtype), mode="drop")
+    return k, v
 
 
 @functools.partial(jax.jit, static_argnames=("block_s", "interpret"))
@@ -446,9 +580,18 @@ def decode_attention(
     k_scale: Optional[jax.Array] = None,  # [(L,) B, 4, Hkv, S/4]: int8 cache
     v_scale: Optional[jax.Array] = None,
     page_table: Optional[jax.Array] = None,  # int32 [B, P]: paged pool cache
+    kv_new=None,  # (k_new [B,Hkv,D], v_new, positions [B]): fused append
 ) -> jax.Array:
     """Softmax(q k^T / sqrt(D)) v over each slot's first ``lengths[b]`` cache
     positions; returns [B, H, D].  HBM reads scale with ``lengths``, not S.
+
+    ``kv_new``: write the new rows at ``positions`` into the cache in the
+    SAME kernel (aliased in place) before attending, replacing a separate
+    ``kv_append_dense`` call and its per-layer fixed cost; positions >= S
+    write nothing.  Dense bf16 caches only (stacked or not); the return
+    becomes ``(out, k, v)``.  Paths that can't run the fused kernel (CPU
+    interpret, odd shapes) apply the append separately first — semantics
+    are identical everywhere.
 
     With ``k_scale``/``v_scale`` the cache is the biased packed int8 layout
     (``models.llama.KVCache`` quantized: words [.., Hkv, S/4, D], byte j of
@@ -494,7 +637,27 @@ def decode_attention(
     # slices — the (4, Hkv, bw) blocks' bw minor can't go below one lane
     # tile (Mosaic rejects the sub-128 minor; measured: dense int8 at
     # S=128 failed to compile).  Smaller shapes take the v1 grid kernel.
-    if not interpret and S % bs == 0 and not (has_scales and bw % 128):
+    if kv_new is not None:
+        assert not has_scales and not paged, "kv_new: dense bf16 caches only"
+    v2_ok = not interpret and S % bs == 0 and not (has_scales and bw % 128)
+    if kv_new is not None and S % (32 // jnp.dtype(k.dtype).itemsize):
+        v2_ok = False  # fused slab RMW needs S on HBM sublane-tile boundaries
+    if v2_ok and kv_new is not None:
+        out, k, v = _decode_attention_v2(
+            q4, k, v, lengths, bs, rep, Hkv, D, layer_idx, page_table,
+            kv_new=kv_new,
+        )
+        return out.reshape(B, H, D), k, v
+    if kv_new is not None:
+        # no fused kernel here (CPU interpret / odd shapes): append first,
+        # then attend — identical semantics, two dispatches
+        k, v = _append_dense_fallback(k, v, kv_new, layer_idx, interpret)
+        out = decode_attention(
+            q, k, v, lengths,
+            block_s=block_s, interpret=interpret, layer_idx=layer_idx,
+        )
+        return out, k, v
+    if v2_ok:
         out = _decode_attention_v2(
             q4, k, v, lengths, bs, rep, Hkv, D, layer_idx, page_table,
             k_scale=k_scale, v_scale=v_scale,

@@ -453,11 +453,12 @@ def _attention(q, kT, vT, mask, scale):
 # default CPU path takes the RMW scatters, leaving the kernel untested in CI).
 FORCE_FUSED_KV_APPEND = False
 
-# Smallest KV capacity routed to the flash-decode kernel; below it XLA's
-# one-shot attention wins on the kernel's fixed per-program Mosaic cost
-# (threshold re-measured after the multi-slot kernel amortized that cost 8x —
-# see docs/PERF_NOTES.md round-3 decode-step budget).
-FLASH_MIN_S = 256
+# Smallest KV capacity routed to the flash-decode kernel.  XLA's one-shot
+# attention used to win below S=256 on the kernel's fixed per-program Mosaic
+# cost, but the FUSED kv-append (the flash kernel writes the new rows itself,
+# absorbing kv_append_dense's ~8 us/layer of per-program overhead) tips the
+# balance to flash at any slab-aligned capacity — see docs/PERF_NOTES.md.
+FLASH_MIN_S = 64
 
 
 def _interpret_mode() -> bool:
@@ -578,6 +579,15 @@ def _block(
     k_all, v_all, ks_all, vs_all = kv
     paged = page_table is not None
     b_rows = slot_ids if slot_ids is not None else jnp.arange(B)
+    # dense decode through the flash kernel: the new k/v rows write INSIDE
+    # the attention kernel itself (aliased cache operands) — one pallas call
+    # per layer does append + attention, saving the separate kv_append call's
+    # per-program fixed cost (~8 us/layer/step at B=8)
+    fuse_append = (
+        T == 1 and slot_ids is None and not self_attend and not paged
+        and ks_all is None and cfg.flash_decode
+        and cfg.head_dim % 128 == 0 and k_all.shape[3] >= FLASH_MIN_S
+    )
     Hkv_l = k.shape[2]
     h_idx = jnp.arange(Hkv_l)[None, :, None]  # (1, Hkv, 1)
     b_idx3 = b_rows[:, None, None]  # (B, 1, 1)
@@ -687,6 +697,8 @@ def _block(
         p_idx = (li, page[:, None, :], h_idx, row[:, None, :])
         k_all = k_all.at[p_idx].set(kT.astype(k_all.dtype), mode="drop")
         v_all = v_all.at[p_idx].set(vT.astype(v_all.dtype), mode="drop")
+    elif fuse_append:
+        pass  # rows write inside the fused flash-decode kernel below
     elif T == 1 and slot_ids is None and k_all.shape[3] % (
         32 // k_all.dtype.itemsize
     ) == 0 and (not _interpret_mode() or FORCE_FUSED_KV_APPEND):
@@ -769,10 +781,17 @@ def _block(
         from xbitops_tpu.kernels.decode_attention import decode_attention
 
         lens_eff = jnp.minimum(positions[:, 0] + 1, S_cap)
-        att = decode_attention(
-            q[:, 0], k_all, v_all, lens_eff, layer_idx=li,
-            k_scale=ks_all, v_scale=vs_all, page_table=page_table,
-        )[:, None]
+        if fuse_append:
+            att, k_all, v_all = decode_attention(
+                q[:, 0], k_all, v_all, lens_eff, layer_idx=li,
+                kv_new=(k[:, 0], v[:, 0], positions[:, 0]),
+            )
+            att = att[:, None]
+        else:
+            att = decode_attention(
+                q[:, 0], k_all, v_all, lens_eff, layer_idx=li,
+                k_scale=ks_all, v_scale=vs_all, page_table=page_table,
+            )[:, None]
     else:
         att = _attention(q, *ctx(None), mask, D ** -0.5)
     x = x + rt.row(att.reshape(B, T, H * D), layer["wo"], a8=a8)

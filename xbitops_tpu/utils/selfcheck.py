@@ -111,6 +111,41 @@ def check_decode_attention() -> None:
     )
     np.testing.assert_allclose(got, want, rtol=5e-2, atol=5e-3, err_msg="stacked")
 
+    # FUSED APPEND: the kernel writes new rows at `positions` in place and
+    # attends them (lengths include the new token); compare vs appending in
+    # jnp first.  Covers flat and stacked, plus the >= S drop semantics.
+    key2 = jax.random.fold_in(key, 9)
+    kn = jax.random.normal(key2, (B, Hkv, D), jnp.bfloat16) * 0.3
+    vn = jax.random.normal(jax.random.fold_in(key2, 1), (B, Hkv, D),
+                           jnp.bfloat16) * 0.3
+    positions = jnp.asarray([0, 199, 255, S], jnp.int32)  # last drops (>= S)
+    lens2 = jnp.minimum(positions + 1, S)
+    b_i = jnp.arange(B)[:, None, None]
+    h_i = jnp.arange(Hkv)[None, :, None]
+    kT2 = kT.at[(b_i, h_i, positions[:, None, None])].set(
+        kn[:, :, None, :], mode="drop")
+    vT2 = vT.at[(b_i, h_i, positions[:, None, None])].set(
+        vn[:, :, None, :], mode="drop")
+    want2 = np.asarray(_ref_att(
+        q, jnp.swapaxes(kT2, 1, 2), jnp.swapaxes(vT2, 1, 2), lens2))
+    got, k_upd, v_upd = decode_attention(
+        q, kT, vT, lens2, block_s=256, kv_new=(kn, vn, positions))
+    np.testing.assert_allclose(np.asarray(got, np.float32), want2,
+                               rtol=5e-2, atol=5e-3, err_msg="fused")
+    np.testing.assert_array_equal(
+        np.asarray(k_upd), np.asarray(kT2), err_msg="fused k write")
+    np.testing.assert_array_equal(
+        np.asarray(v_upd), np.asarray(vT2), err_msg="fused v write")
+    got, k_upd, _ = decode_attention(
+        q, jnp.stack([kT] * L), jnp.stack([vT] * L), lens2, block_s=256,
+        layer_idx=jnp.int32(1), kv_new=(kn, vn, positions))
+    np.testing.assert_allclose(np.asarray(got, np.float32), want2,
+                               rtol=5e-2, atol=5e-3, err_msg="fused stacked")
+    np.testing.assert_array_equal(
+        np.asarray(k_upd[1]), np.asarray(kT2), err_msg="fused stacked write")
+    np.testing.assert_array_equal(
+        np.asarray(k_upd[0]), np.asarray(kT), err_msg="other layer untouched")
+
     # packed biased int8 cache
     kq, kscl = _quant_kv(k.astype(jnp.float32))
     vq, vscl = _quant_kv(v.astype(jnp.float32))
