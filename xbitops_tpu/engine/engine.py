@@ -307,19 +307,35 @@ class Engine:
         # __init__); all step fns share the policy so peak memory is uniform
         donate = (1,) if self.donate_cache else ()
 
+        # Admission arguments ride in ONE packed int32 array: every
+        # host->device array is a tunnel round trip, and the five small
+        # uploads per admission wave measured ~100 ms of the serving budget.
         @partial(jax.jit, donate_argnums=donate)
-        def prefill_fn(params, cache, tokens, true_lens, slots, key, temps):
-            """Batched admission: prefill every row in one forward.  Rows with
-            true_len == 0 are padding (their slot index is out of range)."""
+        def prefill_fn(params, cache, packed, key):
+            """Batched admission: prefill every row in one forward.  Rows
+            with true_len == 0 are padding (their slot index is out of
+            range).  ``packed[n, bucket+3]`` = tokens | len | slot | temp
+            bits per row."""
+            tokens = packed[:, :-3]
+            true_lens = packed[:, -3]
+            slots = packed[:, -2]
+            temps = jax.lax.bitcast_convert_type(packed[:, -1], jnp.float32)
             logits, cache = base_prefill(params, cache, tokens, true_lens, slots)
             toks = sampling.sample_tokens(logits, key, temps, top_k, top_p)
             return toks, cache
 
         @partial(jax.jit, donate_argnums=donate)
-        def prefill_chunks_fn(params, cache, tokens, starts, lens, slots, resets,
-                              key, temps):
-            """Batched long-prompt admission: one chunk for EVERY long prompt
-            in one forward (no per-request host dispatches)."""
+        def prefill_chunks_fn(params, cache, packed, key):
+            """Batched long-prompt admission: one chunk for EVERY long
+            prompt in one forward (no per-request host dispatches).
+            ``packed[n, C+5]`` = tokens | start | len | slot | reset | temp
+            bits per row."""
+            tokens = packed[:, :-5]
+            starts = packed[:, -5]
+            lens = packed[:, -4]
+            slots = packed[:, -3]
+            resets = packed[:, -2].astype(bool)
+            temps = jax.lax.bitcast_convert_type(packed[:, -1], jnp.float32)
             logits, cache = base_prefill_chunks(
                 params, cache, tokens, starts, lens, slots, resets
             )
@@ -604,28 +620,23 @@ class Engine:
                     n_chunks = -(-max(len(p) for _, _, p in longs) // C)
                     last_tok = {}
                     for ci in range(n_chunks):
-                        toks = np.zeros((n, C), np.int32)
-                        starts = np.zeros(n, np.int32)
-                        lens = np.zeros(n, np.int32)
-                        slots_arr = np.full(n, self.slots, np.int32)  # OOB = inert
-                        row_temps = np.zeros(n, np.float32)
-                        resets = np.zeros(n, bool)
+                        packed = np.zeros((n, C + 5), np.int32)
+                        packed[:, -3] = self.slots  # OOB slot = inert row
                         for i, (b, r, prompt) in enumerate(longs):
                             start = ci * C
                             if start >= len(prompt):
                                 continue  # this prompt is done; row stays inert
                             piece = prompt[start : start + C]
-                            toks[i, : len(piece)] = piece
-                            starts[i] = start
-                            lens[i] = len(prompt)
-                            slots_arr[i] = b
-                            row_temps[i] = r.temperature
-                            resets[i] = ci == 0
+                            packed[i, : len(piece)] = piece
+                            packed[i, -5] = start
+                            packed[i, -4] = len(prompt)
+                            packed[i, -3] = b
+                            packed[i, -2] = int(ci == 0)
+                            packed[i, -1] = np.float32(r.temperature).view(
+                                np.int32)
                         toks_dev, self.cache = self._prefill_chunks_fn(
-                            self.params, self.cache, jnp.asarray(toks),
-                            jnp.asarray(starts), jnp.asarray(lens),
-                            jnp.asarray(slots_arr), jnp.asarray(resets),
-                            self._split_key(), jnp.asarray(row_temps),
+                            self.params, self.cache, jnp.asarray(packed),
+                            self._split_key(),
                         )
                         toks_np = np.asarray(jax.device_get(toks_dev))
                         for i, (b, r, prompt) in enumerate(longs):
@@ -641,18 +652,16 @@ class Engine:
                 if admit:
                     n = self.slots  # fixed row count: one compiled program
                     bucket = self._bucket(max(len(p) for _, _, p in admit))
-                    toks = np.zeros((n, bucket), np.int32)
-                    lens = np.zeros(n, np.int32)
-                    slots_arr = np.full(n, self.slots, np.int32)  # OOB = inert row
-                    row_temps = np.zeros(n, np.float32)
+                    packed = np.zeros((n, bucket + 3), np.int32)
+                    packed[:, -2] = self.slots  # OOB slot = inert row
                     for i, (b, r, prompt) in enumerate(admit):
-                        toks[i, : len(prompt)] = prompt
-                        lens[i] = len(prompt)
-                        slots_arr[i] = b
-                        row_temps[i] = r.temperature
+                        packed[i, : len(prompt)] = prompt
+                        packed[i, -3] = len(prompt)
+                        packed[i, -2] = b
+                        packed[i, -1] = np.float32(r.temperature).view(np.int32)
                     toks_dev, self.cache = self._prefill_fn(
-                        self.params, self.cache, jnp.asarray(toks), jnp.asarray(lens),
-                        jnp.asarray(slots_arr), self._split_key(), jnp.asarray(row_temps),
+                        self.params, self.cache, jnp.asarray(packed),
+                        self._split_key(),
                     )
                     toks_np = np.asarray(jax.device_get(toks_dev))
                     for i, (b, r, prompt) in enumerate(admit):
