@@ -278,3 +278,63 @@ def test_decode_attention_fused_append():
     np.testing.assert_array_equal(np.asarray(k_upd[1]), np.asarray(kT2))
     np.testing.assert_array_equal(np.asarray(k_upd[0]), np.asarray(kT))
     np.testing.assert_array_equal(np.asarray(v_upd[1]), np.asarray(vT2))
+
+
+def test_decode_attention_fused_append_int8():
+    """kv_new with a packed int8 cache: the call RMWs the new byte + scale
+    at `positions` (drop past S) and attends them; matches append-then-
+    attend exactly.  On CPU this exercises the kv_append_packed fallback
+    composition (the fused v2 kernel is TPU-only; bench.py --selfcheck
+    drives it on-chip)."""
+    from xbitops_tpu.kernels.kv_append import kv_append_packed
+    from xbitops_tpu.models.llama import _quant_kv
+
+    B, S, H, Hkv, D = 3, 128, 8, 4, 128
+    key = jax.random.PRNGKey(13)
+    q = jax.random.normal(key, (B, H, D), jnp.bfloat16)
+    kf = jax.random.normal(jax.random.fold_in(key, 1), (B, S, Hkv, D)) * 0.5
+    vf = jax.random.normal(jax.random.fold_in(key, 2), (B, S, Hkv, D)) * 0.5
+    kw, vw, ks_p, vs_p, _, _ = pack_int8(kf, vf)
+    kn = jax.random.normal(jax.random.fold_in(key, 3), (B, 1, Hkv, D)) * 0.5
+    vn = jax.random.normal(jax.random.fold_in(key, 4), (B, 1, Hkv, D)) * 0.5
+    kq_n, ks_n = _quant_kv(kn)  # (B, 1, Hkv, D) biased / (B, 1, Hkv)
+    vq_n, vs_n = _quant_kv(vn)
+    positions = jnp.asarray([0, 77, S], jnp.int32)  # last is a drop (>= S)
+    lens = jnp.minimum(positions + 1, S)
+
+    # oracle: aliased append kernel (tested in test_kv_append), then attend
+    wk, wv, wks, wvs = kv_append_packed(
+        kw[None], vw[None], ks_p[None], vs_p[None],
+        kq_n[:, 0], vq_n[:, 0], ks_n[:, 0], vs_n[:, 0],
+        positions, jnp.int32(0),
+    )
+    want = np.asarray(
+        decode_attention(q, wk[0], wv[0], lens, block_s=64,
+                         k_scale=wks[0], v_scale=wvs[0]),
+        np.float32,
+    )
+
+    # flat cache
+    got, k_upd, v_upd, ks_upd, vs_upd = decode_attention(
+        q, kw, vw, lens, block_s=64, k_scale=ks_p, v_scale=vs_p,
+        kv_new=(kq_n[:, 0], vq_n[:, 0], ks_n[:, 0], vs_n[:, 0], positions))
+    np.testing.assert_allclose(np.asarray(got, np.float32), want,
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(k_upd), np.asarray(wk[0]))
+    np.testing.assert_array_equal(np.asarray(v_upd), np.asarray(wv[0]))
+    np.testing.assert_array_equal(np.asarray(ks_upd), np.asarray(wks[0]))
+    np.testing.assert_array_equal(np.asarray(vs_upd), np.asarray(wvs[0]))
+
+    # stacked cache: only the indexed layer changes
+    L = 2
+    got, k_upd, v_upd, ks_upd, vs_upd = decode_attention(
+        q, jnp.stack([kw] * L), jnp.stack([vw] * L), lens, block_s=64,
+        layer_idx=jnp.int32(1),
+        k_scale=jnp.stack([ks_p] * L), v_scale=jnp.stack([vs_p] * L),
+        kv_new=(kq_n[:, 0], vq_n[:, 0], ks_n[:, 0], vs_n[:, 0], positions))
+    np.testing.assert_allclose(np.asarray(got, np.float32), want,
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(k_upd[1]), np.asarray(wk[0]))
+    np.testing.assert_array_equal(np.asarray(k_upd[0]), np.asarray(kw))
+    np.testing.assert_array_equal(np.asarray(ks_upd[1]), np.asarray(wks[0]))
+    np.testing.assert_array_equal(np.asarray(ks_upd[0]), np.asarray(ks_p))

@@ -260,8 +260,29 @@ def test_engine_spec_decode_matches_greedy(params):
     for a, b in zip(plain, spec):
         assert a.tokens == b.tokens, (a.tokens, b.tokens)
     assert eng.spec_stats["drafted"] > 0
-    # random tiny models repeat quickly: the n-gram draft should land some
-    assert eng.spec_stats["accepted"] >= 0
+
+
+def test_engine_spec_decode_acceptance_on_repetitive_model(params):
+    """On a model with repetitive greedy continuations (the prompt-lookup
+    draft's use case, synth.copy_llama_params) spec decode must (a) accept
+    nearly every draft, (b) still emit exactly the plain greedy stream, and
+    (c) cut the number of device dispatches by ~gamma."""
+    from xbitops_tpu.utils import synth
+
+    cp = synth.copy_llama_params(jax.random.PRNGKey(0), CFG, bits=4,
+                                 group_size=32, period=4)
+    cycle = [0, 1, 2, 3]
+    reqs = lambda: [Request(prompt=cycle * 2, max_new_tokens=16),
+                    Request(prompt=(cycle * 3)[2:], max_new_tokens=12)]
+    plain = Engine(cp, CFG, slots=2, prefill_buckets=[8, 16]).generate(reqs())
+    eng = Engine(cp, CFG, slots=2, prefill_buckets=[8, 16], spec_tokens=4)
+    spec = eng.generate(reqs())
+    for a, b in zip(plain, spec):
+        assert a.tokens == b.tokens, (a.tokens, b.tokens)
+    # the copy-model's stream is the pure cycle — every draft is right
+    assert plain[0].tokens == (cycle * 4)[:16]
+    rate = eng.spec_stats["accepted"] / eng.spec_stats["drafted"]
+    assert rate >= 0.9, eng.spec_stats
 
 
 def test_engine_spec_decode_int8_kv(params):
@@ -394,3 +415,26 @@ def test_engine_failure_recovery(params):
     eng2._fault_hook = fault2
     with pytest.raises(_jax.errors.JaxRuntimeError):
         eng2.generate(reqs())
+
+
+def test_engine_greedy_program_matches_full(params):
+    """All-greedy bursts route to the specialized decode program (no sampling
+    machinery); its token stream must be bit-identical to the full program's
+    greedy branch, including mixed bursts where one slot samples."""
+    reqs = lambda: [Request(prompt=p, max_new_tokens=6) for p in PROMPTS[:3]]
+    eng = Engine(params, CFG, slots=2, prefill_buckets=[4, 8])
+    greedy = eng.generate(reqs())
+    # force every burst through the full sampling program
+    forced = Engine(params, CFG, slots=2, prefill_buckets=[4, 8])
+    forced._decode_greedy_fn = forced._decode_fn
+    full = forced.generate(reqs())
+    assert [c.tokens for c in greedy] == [c.tokens for c in full]
+
+    # a mixed batch (one sampled slot) must take the full program and stay
+    # reproducible; the greedy slot's stream is unchanged by its neighbor
+    mixed = lambda seed: Engine(params, CFG, slots=2, seed=seed).generate([
+        Request(prompt=PROMPTS[0], max_new_tokens=6),
+        Request(prompt=PROMPTS[1], max_new_tokens=6, temperature=0.9),
+    ])
+    a, b = mixed(3), mixed(3)
+    assert [c.tokens for c in a] == [c.tokens for c in b]

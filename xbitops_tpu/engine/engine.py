@@ -346,7 +346,7 @@ class Engine:
 
         burst = self.decode_burst
 
-        def make_decode_fn(c):
+        def make_decode_fn(c, greedy=False):
             base_decode = make_bases(c)[2]
 
             @partial(jax.jit, donate_argnums=donate)
@@ -362,7 +362,32 @@ class Engine:
                 trip, so the steady-state burst is exactly two — the decode
                 dispatch and the token readback (active/temps/tokens reuse
                 device-resident values unless the host changed them).
+
+                The ``greedy`` variant is a second compiled program for bursts
+                where every active slot has temperature <= 0 (the serving
+                default): a bare argmax replaces the full sampling machinery
+                (categorical draw + top-k/top-p masking over [B, V] logits,
+                ~0.25 ms/step at B=32) and consumes no randomness — the key
+                chain passes through unchanged, so mixed workloads that
+                alternate programs keep their sampled draws distinct.  Token
+                streams are bit-identical between the programs for greedy
+                rows (sample_tokens' greedy branch is the same argmax).
                 """
+
+                if greedy:
+                    def body(carry, _):
+                        toks, cache = carry
+                        logits, cache = base_decode(params, cache, toks, active)
+                        nxt = jnp.argmax(
+                            logits.astype(jnp.float32), axis=-1
+                        ).astype(jnp.int32)
+                        nxt = jnp.where(active, nxt, 0)
+                        return (nxt, cache), nxt
+
+                    (last, cache), seq = jax.lax.scan(
+                        body, (tokens, cache), None, length=burst
+                    )
+                    return seq, last, key, cache
 
                 keys = jax.random.split(key, burst + 1)
 
@@ -410,6 +435,10 @@ class Engine:
         # dispatch (two compiled programs, live-length bookkeeping that
         # lagged under pipelining) is gone.
         self._decode_fn = make_decode_fn(cfg)  # follows cfg.flash_decode
+        # all-greedy bursts (the serving default) skip the sampling machinery
+        # entirely; jit is lazy, so a pure-greedy workload never compiles the
+        # full program and vice versa
+        self._decode_greedy_fn = make_decode_fn(cfg, greedy=True)
 
     # --- paged-pool allocator (host side) ---
 
@@ -727,7 +756,11 @@ class Engine:
                                 accept(b, int(tok))
                     continue
 
-                decode = self._decode_fn
+                decode = (
+                    self._decode_greedy_fn
+                    if not (temps[step_active] > 0).any()
+                    else self._decode_fn
+                )
                 act_dev = dev_arg("active", step_active)
                 temps_dev = dev_arg("temps", temps)
                 if dev["key"] is None:

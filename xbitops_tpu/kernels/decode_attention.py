@@ -171,7 +171,11 @@ def _kernel_v2(bs, rep, Hkv, D, scale, stacked, paged, P, has_scales, SPB,
     tbl_ref = refs.pop(0) if paged else None
     li_ref = refs.pop(0) if stacked else None
     pos_ref = refs.pop(0) if fused else None
-    if has_scales:
+    if has_scales and fused:
+        (q_ref, k_hbm, v_hbm, ks_hbm, vs_hbm, kn_ref, vn_ref, ksn_ref,
+         vsn_ref, o_ref, ko_hbm, vo_hbm, kso_hbm, vso_hbm,
+         m_ref, l_ref, acc_ref, kslab, vslab, ksslab, vsslab, sem) = refs
+    elif has_scales:
         q_ref, k_hbm, v_hbm, ks_hbm, vs_hbm, o_ref, m_ref, l_ref, acc_ref = refs
     elif fused:
         (q_ref, k_hbm, v_hbm, kn_ref, vn_ref, o_ref, ko_hbm, vo_hbm,
@@ -187,7 +191,119 @@ def _kernel_v2(bs, rep, Hkv, D, scale, stacked, paged, P, has_scales, SPB,
     # compute).
     b0 = pl.program_id(0) * SPB
 
-    if fused:
+    if fused and has_scales:
+        # FUSED PACKED-int8 KV APPEND: read-modify-write each slot's
+        # sublane-aligned word slab (8 int32 rows along S/4) and its
+        # 128-lane scale chunk in the same kernel, before the read pipeline
+        # — replaces the separate kv_append_packed call and its per-program
+        # fixed cost.  All 4*SPB reads (then writes) fly concurrently.
+        WSLAB = kslab.shape[-2]
+        SC = ksslab.shape[-1]
+
+        def word_of(s):
+            pos = pos_ref[b0 + s]
+            return jnp.where(pos < S_cap, jnp.maximum(pos, 0), 0) // 4
+
+        def wslab_slice(s):
+            start = pl.multiple_of((word_of(s) // WSLAB) * WSLAB, WSLAB)
+            lead = (li_ref[0],) if stacked else ()
+            return lead + (b0 + s, slice(None), pl.ds(start, WSLAB),
+                           slice(None))
+
+        def sslab_slice(s):
+            start = pl.multiple_of((word_of(s) // SC) * SC, SC)
+            lead = (li_ref[0],) if stacked else ()
+            return lead + (b0 + s, slice(None), slice(None),
+                           pl.ds(start, SC))
+
+        def valid(s):
+            return jnp.logical_and(pos_ref[b0 + s] >= 0,
+                                   pos_ref[b0 + s] < S_cap)
+
+        for s in range(SPB):
+            @pl.when(valid(s))
+            def _(s=s):
+                wsl, ssl = wslab_slice(s), sslab_slice(s)
+                pltpu.make_async_copy(
+                    k_hbm.at[wsl], kslab.at[s], sem.at[s, 0]).start()
+                pltpu.make_async_copy(
+                    v_hbm.at[wsl], vslab.at[s], sem.at[s, 1]).start()
+                pltpu.make_async_copy(
+                    ks_hbm.at[ssl], ksslab.at[s], sem.at[s, 2]).start()
+                pltpu.make_async_copy(
+                    vs_hbm.at[ssl], vsslab.at[s], sem.at[s, 3]).start()
+
+        kn_all = kn_ref[...]  # (SPB, Hkv, D) int32 biased bytes (1..255)
+        vn_all = vn_ref[...]
+        # new scales ride as the whole (B, Hkv) arrays (a (1, Hkv) block
+        # violates Mosaic's sublane rule, see kv_append.py) — pick row
+        # b0+s with a one-hot reduce
+        Bfull, Hs = ksn_ref.shape
+        for s in range(SPB):
+            @pl.when(valid(s))
+            def _(s=s):
+                wsl, ssl = wslab_slice(s), sslab_slice(s)
+                pltpu.make_async_copy(
+                    k_hbm.at[wsl], kslab.at[s], sem.at[s, 0]).wait()
+                pltpu.make_async_copy(
+                    v_hbm.at[wsl], vslab.at[s], sem.at[s, 1]).wait()
+                pltpu.make_async_copy(
+                    ks_hbm.at[ssl], ksslab.at[s], sem.at[s, 2]).wait()
+                pltpu.make_async_copy(
+                    vs_hbm.at[ssl], vsslab.at[s], sem.at[s, 3]).wait()
+                pos = pos_ref[b0 + s]
+                w = word_of(s)
+                sh = (pos % 4) * 8
+                keep = ~(255 << sh)
+                hit_w = jax.lax.broadcasted_iota(
+                    jnp.int32, kslab.shape[1:], 1) == w % WSLAB
+                kslab[s] = jnp.where(
+                    hit_w,
+                    (kslab[s] & keep) | ((kn_all[s][:, None, :] & 255) << sh),
+                    kslab[s])
+                vslab[s] = jnp.where(
+                    hit_w,
+                    (vslab[s] & keep) | ((vn_all[s][:, None, :] & 255) << sh),
+                    vslab[s])
+                onehot_b = (jax.lax.broadcasted_iota(
+                    jnp.int32, (Bfull, Hs), 0) == b0 + s).astype(jnp.float32)
+                ksn = jnp.sum(ksn_ref[...].astype(jnp.float32) * onehot_b,
+                              axis=0)  # (Hkv,)
+                vsn = jnp.sum(vsn_ref[...].astype(jnp.float32) * onehot_b,
+                              axis=0)
+                hit_s = jnp.logical_and(
+                    jax.lax.broadcasted_iota(
+                        jnp.int32, ksslab.shape[1:], 0) == pos % 4,
+                    jax.lax.broadcasted_iota(
+                        jnp.int32, ksslab.shape[1:], 2) == w % SC,
+                )
+                ksslab[s] = jnp.where(
+                    hit_s, ksn[None, :, None].astype(ksslab.dtype), ksslab[s])
+                vsslab[s] = jnp.where(
+                    hit_s, vsn[None, :, None].astype(vsslab.dtype), vsslab[s])
+                pltpu.make_async_copy(
+                    kslab.at[s], ko_hbm.at[wsl], sem.at[s, 0]).start()
+                pltpu.make_async_copy(
+                    vslab.at[s], vo_hbm.at[wsl], sem.at[s, 1]).start()
+                pltpu.make_async_copy(
+                    ksslab.at[s], kso_hbm.at[ssl], sem.at[s, 2]).start()
+                pltpu.make_async_copy(
+                    vsslab.at[s], vso_hbm.at[ssl], sem.at[s, 3]).start()
+
+        for s in range(SPB):
+            @pl.when(valid(s))
+            def _(s=s):
+                wsl, ssl = wslab_slice(s), sslab_slice(s)
+                pltpu.make_async_copy(
+                    kslab.at[s], ko_hbm.at[wsl], sem.at[s, 0]).wait()
+                pltpu.make_async_copy(
+                    vslab.at[s], vo_hbm.at[wsl], sem.at[s, 1]).wait()
+                pltpu.make_async_copy(
+                    ksslab.at[s], kso_hbm.at[ssl], sem.at[s, 2]).wait()
+                pltpu.make_async_copy(
+                    vsslab.at[s], vso_hbm.at[ssl], sem.at[s, 3]).wait()
+
+    elif fused:
         # FUSED KV APPEND: read-modify-write each slot's SLAB-row-aligned
         # cache window (single rows can't address HBM's (8, 128) tiling) in
         # the same kernel, before the read pipeline — the rows land in each
@@ -454,10 +570,12 @@ def _decode_attention_v2(q4, k, v, lengths, bs, rep, Hkv, D,
                          kv_new=None):
     """pallas_call wrapper for :func:`_kernel_v2` (real TPU only).
 
-    ``kv_new=(k_new [B,Hkv,D], v_new, positions [B])``: write the new rows
-    into the (aliased) cache inside the SAME kernel before attending —
-    replaces a separate kv_append call.  Dense bf16 caches only; returns
-    ``(out, k, v)``."""
+    ``kv_new``: write the new rows into the (aliased) cache inside the SAME
+    kernel before attending — replaces a separate kv_append call.  Dense
+    caches take ``(k_new [B,Hkv,D], v_new, positions [B])`` and return
+    ``(out, k, v)``; packed int8 caches (``k_scale`` set) take
+    ``(kq [B,Hkv,D] biased int32, vq, ks_new [B,Hkv], vs_new, positions)``
+    and return ``(out, k, v, k_scale, v_scale)``."""
     B = q4.shape[0]
     # slots per program: the largest power of two (<= 8) dividing B — fewer
     # Mosaic programs amortize the ~5-8 us per-program fixed cost that
@@ -477,12 +595,15 @@ def _decode_attention_v2(q4, k, v, lengths, bs, rep, Hkv, D,
         n_prefetch += 1
     fused = kv_new is not None
     if fused:
-        assert not has_scales and not paged, "fused append: dense bf16 only"
-        k_new, v_new, positions = kv_new
+        assert not paged, "fused append: dense or packed-int8, not paged"
+        if has_scales:
+            kq_n, vq_n, ksn, vsn, positions = kv_new
+        else:
+            k_new, v_new, positions = kv_new
         args.append(positions.astype(jnp.int32))
         n_prefetch += 1
     q_index = (lambda g, *_: (g, 0, 0, 0))
-    S_cap = k.shape[-2]
+    S_cap = k.shape[-2] * (4 if has_scales else 1)
     operands = [q4, k, v] + ([k_scale, v_scale] if has_scales else [])
     in_specs = (
         [pl.BlockSpec((SPB, Hkv, rep, D), q_index, memory_space=pltpu.VMEM)]
@@ -493,7 +614,8 @@ def _decode_attention_v2(q4, k, v, lengths, bs, rep, Hkv, D,
         # VMEM-resident, where the slab DMA's dynamic slicing hits Mosaic's
         # packed-tile limits; HBM slab DMAs at SLAB-aligned offsets are legal
         hbm = pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)
-        in_specs[1] = in_specs[2] = hbm
+        for i in range(1, len(operands)):
+            in_specs[i] = hbm
     out_shape = jax.ShapeDtypeStruct((B, Hkv, rep, D), q4.dtype)
     out_specs = pl.BlockSpec((SPB, Hkv, rep, D), q_index,
                              memory_space=pltpu.VMEM)
@@ -503,7 +625,36 @@ def _decode_attention_v2(q4, k, v, lengths, bs, rep, Hkv, D,
         pltpu.VMEM((rep, Hkv, D), jnp.float32),
     ]
     alias = {}
-    if fused:
+    if fused and has_scales:
+        Sw = k.shape[-2]
+        sc_lanes = min(128, Sw)  # scale-chunk width along S/4
+        operands += [kq_n.reshape(B, Hkv, D).astype(jnp.int32),
+                     vq_n.reshape(B, Hkv, D).astype(jnp.int32),
+                     ksn.reshape(B, Hkv).astype(k_scale.dtype),
+                     vsn.reshape(B, Hkv).astype(v_scale.dtype)]
+        kn_index = (lambda g, *_: (g, 0, 0))
+        in_specs += [pl.BlockSpec((SPB, Hkv, D), kn_index,
+                                  memory_space=pltpu.VMEM)] * 2
+        # whole-array blocks: a (1, Hkv) block violates Mosaic's sublane rule
+        in_specs += [pl.BlockSpec((B, Hkv), lambda g, *_: (0, 0),
+                                  memory_space=pltpu.VMEM)] * 2
+        out_shape = [out_shape] + [
+            jax.ShapeDtypeStruct(a.shape, a.dtype)
+            for a in (k, v, k_scale, v_scale)
+        ]
+        out_specs = [out_specs] + [
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)] * 4
+        scratch += [
+            pltpu.VMEM((SPB, Hkv, 8, D), jnp.int32),  # 8 = int32 sublane tile
+            pltpu.VMEM((SPB, Hkv, 8, D), jnp.int32),
+            pltpu.VMEM((SPB, 4, Hkv, sc_lanes), k_scale.dtype),
+            pltpu.VMEM((SPB, 4, Hkv, sc_lanes), v_scale.dtype),
+            pltpu.SemaphoreType.DMA((SPB, 4)),
+        ]
+        # aliases index ALL call operands (scalar-prefetch included):
+        # k/v/ks/vs sit right after q at n_prefetch + 1 .. + 4
+        alias = {n_prefetch + i: i for i in (1, 2, 3, 4)}
+    elif fused:
         slab_rows = 32 // jnp.dtype(k.dtype).itemsize  # HBM sublane tile
         operands += [k_new.reshape(B, Hkv, D).astype(k.dtype),
                      v_new.reshape(B, Hkv, D).astype(v.dtype)]
@@ -568,6 +719,25 @@ def _append_dense_fallback(k, v, kv_new, layer_idx, interpret):
     return k, v
 
 
+def _append_packed_fallback(k, v, ks, vs, kv_new, layer_idx, interpret):
+    """Apply the packed-int8 kv_new writes separately (paths without the
+    fused v2 kernel) via the aliased kv_append kernel; flat caches ride a
+    temporary leading layer axis."""
+    from xbitops_tpu.kernels.kv_append import kv_append_packed
+
+    kq, vq, ksn, vsn, positions = kv_new
+    if layer_idx is None:
+        k4, v4, ks4, vs4 = kv_append_packed(
+            k[None], v[None], ks[None], vs[None],
+            kq, vq, ksn, vsn, positions, jnp.int32(0), interpret=interpret,
+        )
+        return k4[0], v4[0], ks4[0], vs4[0]
+    return kv_append_packed(
+        k, v, ks, vs, kq, vq, ksn, vsn, positions, layer_idx,
+        interpret=interpret,
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("block_s", "interpret"))
 def decode_attention(
     q: jax.Array,  # [B, H, D]
@@ -587,11 +757,14 @@ def decode_attention(
 
     ``kv_new``: write the new rows at ``positions`` into the cache in the
     SAME kernel (aliased in place) before attending, replacing a separate
-    ``kv_append_dense`` call and its per-layer fixed cost; positions >= S
-    write nothing.  Dense bf16 caches only (stacked or not); the return
-    becomes ``(out, k, v)``.  Paths that can't run the fused kernel (CPU
-    interpret, odd shapes) apply the append separately first — semantics
-    are identical everywhere.
+    ``kv_append_dense``/``kv_append_packed`` call and its per-layer fixed
+    cost; positions >= S write nothing.  Dense caches (stacked or not) take
+    ``(k_new [B,Hkv,D], v_new, positions)`` and return ``(out, k, v)``;
+    packed int8 caches (``k_scale`` set) take ``(kq [B,Hkv,D] biased int32,
+    vq, ks_new [B,Hkv], vs_new, positions)`` and return
+    ``(out, k, v, k_scale, v_scale)``.  Paths that can't run the fused
+    kernel (CPU interpret, odd shapes) apply the append separately first —
+    semantics are identical everywhere.
 
     With ``k_scale``/``v_scale`` the cache is the biased packed int8 layout
     (``models.llama.KVCache`` quantized: words [.., Hkv, S/4, D], byte j of
@@ -638,19 +811,31 @@ def decode_attention(
     # tile (Mosaic rejects the sub-128 minor; measured: dense int8 at
     # S=128 failed to compile).  Smaller shapes take the v1 grid kernel.
     if kv_new is not None:
-        assert not has_scales and not paged, "kv_new: dense bf16 caches only"
+        assert not paged, "kv_new: dense or packed-int8 caches, not paged"
     v2_ok = not interpret and S % bs == 0 and not (has_scales and bw % 128)
-    if kv_new is not None and S % (32 // jnp.dtype(k.dtype).itemsize):
+    if kv_new is not None and not has_scales and S % (
+        32 // jnp.dtype(k.dtype).itemsize
+    ):
         v2_ok = False  # fused slab RMW needs S on HBM sublane-tile boundaries
     if v2_ok and kv_new is not None:
-        out, k, v = _decode_attention_v2(
+        outs = _decode_attention_v2(
             q4, k, v, lengths, bs, rep, Hkv, D, layer_idx, page_table,
-            kv_new=kv_new,
+            k_scale=k_scale, v_scale=v_scale, kv_new=kv_new,
         )
-        return out.reshape(B, H, D), k, v
+        return (outs[0].reshape(B, H, D),) + tuple(outs[1:])
     if kv_new is not None:
         # no fused kernel here (CPU interpret / odd shapes): append first,
         # then attend — identical semantics, two dispatches
+        if has_scales:
+            k, v, k_scale, v_scale = _append_packed_fallback(
+                k, v, k_scale, v_scale, kv_new, layer_idx, interpret
+            )
+            out = decode_attention(
+                q, k, v, lengths,
+                block_s=block_s, interpret=interpret, layer_idx=layer_idx,
+                k_scale=k_scale, v_scale=v_scale,
+            )
+            return out, k, v, k_scale, v_scale
         k, v = _append_dense_fallback(k, v, kv_new, layer_idx, interpret)
         out = decode_attention(
             q, k, v, lengths,

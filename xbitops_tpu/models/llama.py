@@ -588,13 +588,24 @@ def _block(
         and ks_all is None and cfg.flash_decode
         and cfg.head_dim % 128 == 0 and k_all.shape[3] >= FLASH_MIN_S
     )
+    # packed int8 caches fuse the same way (the flash kernel RMWs the word
+    # slab + scale chunk in place); decode_attention degrades to the aliased
+    # kv_append_packed + attend composition where the v2 kernel can't run
+    # (CPU interpret, S not a 512 multiple) — identical semantics
+    fuse_append_q = (
+        T == 1 and slot_ids is None and not self_attend and not paged
+        and ks_all is not None and cfg.flash_decode
+        and cfg.head_dim % 128 == 0 and k_all.shape[3] * 4 >= FLASH_MIN_S
+    )
     Hkv_l = k.shape[2]
     h_idx = jnp.arange(Hkv_l)[None, :, None]  # (1, Hkv, 1)
     b_idx3 = b_rows[:, None, None]  # (B, 1, 1)
     if ks_all is not None:  # int8 cache, packed words + biased bytes
         kq, ks = _quant_kv(k)  # kq (B, T, Hkv, D) biased; ks (B, T, Hkv)
         vq, vs = _quant_kv(v)
-        if T == 1 and slot_ids is None and not paged and (
+        if fuse_append_q:
+            pass  # rows write inside the fused flash-decode kernel below
+        elif T == 1 and slot_ids is None and not paged and (
             not _interpret_mode() or FORCE_FUSED_KV_APPEND
         ):
             # decode on real TPU: ONE aliased Pallas call replaces the 6
@@ -785,6 +796,14 @@ def _block(
             att, k_all, v_all = decode_attention(
                 q[:, 0], k_all, v_all, lens_eff, layer_idx=li,
                 kv_new=(k[:, 0], v[:, 0], positions[:, 0]),
+            )
+            att = att[:, None]
+        elif fuse_append_q:
+            att, k_all, v_all, ks_all, vs_all = decode_attention(
+                q[:, 0], k_all, v_all, lens_eff, layer_idx=li,
+                k_scale=ks_all, v_scale=vs_all,
+                kv_new=(kq[:, 0], vq[:, 0], ks[:, 0], vs[:, 0],
+                        positions[:, 0]),
             )
             att = att[:, None]
         else:

@@ -87,6 +87,7 @@ def check_decode_attention() -> None:
     paged+int8 — on TPU these drive the v2 emit_pipeline kernels (which have
     no interpret support, so CPU CI cannot execute them)."""
     from xbitops_tpu.kernels.decode_attention import decode_attention
+    from xbitops_tpu.kernels.kv_append import kv_append_packed
     from xbitops_tpu.models.llama import (
         _pack_kv_scales, _pack_kv_words, _quant_kv,
     )
@@ -160,6 +161,46 @@ def check_decode_attention() -> None:
     vd = ((vq - 128).astype(jnp.float32) * vscl[..., None]).astype(jnp.bfloat16)
     want_q = np.asarray(_ref_att(q, kd, vd, lengths))
     np.testing.assert_allclose(got, want_q, rtol=5e-2, atol=2e-2, err_msg="int8")
+
+    # FUSED int8 APPEND: the kernel RMWs the new byte + scale in place and
+    # attends them; oracle = the aliased kv_append_packed kernel (itself
+    # gated by check_kv_append) followed by the plain int8 attention above.
+    # Covers flat and stacked, plus the >= S drop semantics.
+    kqn, ksn = _quant_kv(kn.astype(jnp.float32)[:, None])  # (B, 1, Hkv, *)
+    vqn, vsn = _quant_kv(vn.astype(jnp.float32)[:, None])
+    kv_new_q = (kqn[:, 0], vqn[:, 0], ksn[:, 0], vsn[:, 0], positions)
+    wk, wv, wks, wvs = kv_append_packed(
+        kw[None], vw[None], ks_p[None], vs_p[None], *kv_new_q, jnp.int32(0)
+    )
+    want_fq = np.asarray(
+        decode_attention(q, wk[0], wv[0], lens2, k_scale=wks[0],
+                         v_scale=wvs[0]),
+        np.float32,
+    )
+    got, k_upd, v_upd, ks_upd, vs_upd = decode_attention(
+        q, kw, vw, lens2, k_scale=ks_p, v_scale=vs_p, kv_new=kv_new_q)
+    np.testing.assert_allclose(np.asarray(got, np.float32), want_fq,
+                               rtol=5e-2, atol=2e-2, err_msg="fused int8")
+    for g, w, nm in ((k_upd, wk[0], "k"), (v_upd, wv[0], "v"),
+                     (ks_upd, wks[0], "ks"), (vs_upd, wvs[0], "vs")):
+        np.testing.assert_array_equal(
+            np.asarray(g), np.asarray(w), err_msg=f"fused int8 {nm} write")
+    got, k_upd, _, ks_upd, _ = decode_attention(
+        q, jnp.stack([kw] * L), jnp.stack([vw] * L), lens2,
+        layer_idx=jnp.int32(1), k_scale=jnp.stack([ks_p] * L),
+        v_scale=jnp.stack([vs_p] * L), kv_new=kv_new_q)
+    np.testing.assert_allclose(np.asarray(got, np.float32), want_fq,
+                               rtol=5e-2, atol=2e-2,
+                               err_msg="fused int8 stacked")
+    np.testing.assert_array_equal(
+        np.asarray(k_upd[1]), np.asarray(wk[0]),
+        err_msg="fused int8 stacked write")
+    np.testing.assert_array_equal(
+        np.asarray(k_upd[0]), np.asarray(kw),
+        err_msg="fused int8 other layer untouched")
+    np.testing.assert_array_equal(
+        np.asarray(ks_upd[1]), np.asarray(wks[0]),
+        err_msg="fused int8 stacked scale write")
 
     # paged (flat + stacked): identity page table, pool == dense cache
     psz = 256

@@ -157,3 +157,49 @@ def random_llama_params(
         ln_final=jnp.ones((h,), jnp.float32),
         layers=layers,
     )
+
+
+def copy_llama_params(
+    key: jax.Array,
+    cfg: llama.LlamaConfig,
+    bits: int = 4,
+    group_size: int = 128,
+    period: int = 8,
+) -> dict:
+    """A "copy-model": greedy decode follows the period-``period`` token
+    cycle ``0, 1, .., period-1, 0, ..`` at real quantized weight bytes.
+
+    The residual stream stays ~= the current token's embedding (the output
+    projections ``wo``/``w_down`` carry ~1e-4-scale weights, so attention and
+    MLP contributions are negligible against the 0.02-scale embeddings), and
+    lm_head column ``(v+1) % period`` is embedding row ``v`` — so
+    ``argmax(logits) = (token + 1) % period`` with a large margin over the
+    32k random columns.
+
+    This is the speculative-decoding FAVORABLE case (repetitive
+    continuations, the prompt-lookup draft's use case) at honest compute
+    cost: decode and verify both run the full quantized model — random
+    weights (acceptance 0) and this (acceptance ~1) bracket real workloads.
+    """
+    from xbitops_tpu.ops.quantize import quantize_array
+
+    params = random_llama_params(key, cfg, bits, group_size)
+    h, ffn = cfg.hidden_size, cfg.intermediate_size
+    qdim = cfg.num_heads * cfg.head_dim
+    keys = jax.random.split(jax.random.fold_in(key, 1), 2 * cfg.num_layers + 1)
+    for i, layer in enumerate(params["layers"]):
+        layer["wo"] = random_qtensor(
+            keys[2 * i], qdim, h, bits, group_size,
+            scale_lo=1e-5, scale_hi=2e-5,
+        )
+        layer["w_down"] = random_qtensor(
+            keys[2 * i + 1], ffn, h, bits, group_size,
+            scale_lo=1e-5, scale_hi=2e-5,
+        )
+    assert period <= cfg.vocab_size
+    embed = params["embed"].astype(jnp.float32)
+    W = jax.random.normal(keys[-1], (h, cfg.vocab_size), jnp.float32) * 0.02
+    succ = (jnp.arange(period) + 1) % period
+    W = W.at[:, succ].set(embed[:period].T)
+    params["lm_head"] = quantize_array(W, bits, group_size)
+    return params
