@@ -165,7 +165,7 @@ def _kernel(bs, rep, Hkv, D, scale, stacked, has_scales, paged, *refs):
 
 
 def _kernel_v2(bs, rep, Hkv, D, scale, stacked, paged, P, has_scales, SPB,
-               fused, S_cap, *refs):
+               fused, S_cap, scales_res, *refs):
     refs = list(refs)
     lens_ref = refs.pop(0)
     tbl_ref = refs.pop(0) if paged else None
@@ -191,12 +191,22 @@ def _kernel_v2(bs, rep, Hkv, D, scale, stacked, paged, P, has_scales, SPB,
     # compute).
     b0 = pl.program_id(0) * SPB
 
+    if fused:
+        def valid(s):
+            return jnp.logical_and(pos_ref[b0 + s] >= 0,
+                                   pos_ref[b0 + s] < S_cap)
+
+    # FUSED KV APPEND (round-4 overlap design): the append row lives at
+    # position lengths-1 (the decode contract), so the attention pipeline
+    # streams only lengths-1 cached rows and the new row is FOLDED
+    # IN-REGISTER from its VMEM operand (one extra online-softmax update at
+    # each slot's last pipeline step).  Nothing in the kernel reads the slab
+    # RMW's result, so the whole write path overlaps the attention reads:
+    # slab READS start here (phase 1), the merge + writeback run AFTER the
+    # pipeline (phase 3) — the serial pre-pipeline read-wait/modify/
+    # write-wait chain of the round-3 kernel (~12 us/layer at B=8, ~40 at
+    # B=32) is off the critical path.
     if fused and has_scales:
-        # FUSED PACKED-int8 KV APPEND: read-modify-write each slot's
-        # sublane-aligned word slab (8 int32 rows along S/4) and its
-        # 128-lane scale chunk in the same kernel, before the read pipeline
-        # — replaces the separate kv_append_packed call and its per-program
-        # fixed cost.  All 4*SPB reads (then writes) fly concurrently.
         WSLAB = kslab.shape[-2]
         SC = ksslab.shape[-1]
 
@@ -216,100 +226,25 @@ def _kernel_v2(bs, rep, Hkv, D, scale, stacked, paged, P, has_scales, SPB,
             return lead + (b0 + s, slice(None), slice(None),
                            pl.ds(start, SC))
 
-        def valid(s):
-            return jnp.logical_and(pos_ref[b0 + s] >= 0,
-                                   pos_ref[b0 + s] < S_cap)
-
         for s in range(SPB):
             @pl.when(valid(s))
             def _(s=s):
-                wsl, ssl = wslab_slice(s), sslab_slice(s)
+                wsl = wslab_slice(s)
                 pltpu.make_async_copy(
                     k_hbm.at[wsl], kslab.at[s], sem.at[s, 0]).start()
                 pltpu.make_async_copy(
                     v_hbm.at[wsl], vslab.at[s], sem.at[s, 1]).start()
-                pltpu.make_async_copy(
-                    ks_hbm.at[ssl], ksslab.at[s], sem.at[s, 2]).start()
-                pltpu.make_async_copy(
-                    vs_hbm.at[ssl], vsslab.at[s], sem.at[s, 3]).start()
-
-        kn_all = kn_ref[...]  # (SPB, Hkv, D) int32 biased bytes (1..255)
-        vn_all = vn_ref[...]
-        # new scales ride as the whole (B, Hkv) arrays (a (1, Hkv) block
-        # violates Mosaic's sublane rule, see kv_append.py) — pick row
-        # b0+s with a one-hot reduce
-        Bfull, Hs = ksn_ref.shape
-        for s in range(SPB):
-            @pl.when(valid(s))
-            def _(s=s):
-                wsl, ssl = wslab_slice(s), sslab_slice(s)
-                pltpu.make_async_copy(
-                    k_hbm.at[wsl], kslab.at[s], sem.at[s, 0]).wait()
-                pltpu.make_async_copy(
-                    v_hbm.at[wsl], vslab.at[s], sem.at[s, 1]).wait()
-                pltpu.make_async_copy(
-                    ks_hbm.at[ssl], ksslab.at[s], sem.at[s, 2]).wait()
-                pltpu.make_async_copy(
-                    vs_hbm.at[ssl], vsslab.at[s], sem.at[s, 3]).wait()
-                pos = pos_ref[b0 + s]
-                w = word_of(s)
-                sh = (pos % 4) * 8
-                keep = ~(255 << sh)
-                hit_w = jax.lax.broadcasted_iota(
-                    jnp.int32, kslab.shape[1:], 1) == w % WSLAB
-                kslab[s] = jnp.where(
-                    hit_w,
-                    (kslab[s] & keep) | ((kn_all[s][:, None, :] & 255) << sh),
-                    kslab[s])
-                vslab[s] = jnp.where(
-                    hit_w,
-                    (vslab[s] & keep) | ((vn_all[s][:, None, :] & 255) << sh),
-                    vslab[s])
-                onehot_b = (jax.lax.broadcasted_iota(
-                    jnp.int32, (Bfull, Hs), 0) == b0 + s).astype(jnp.float32)
-                ksn = jnp.sum(ksn_ref[...].astype(jnp.float32) * onehot_b,
-                              axis=0)  # (Hkv,)
-                vsn = jnp.sum(vsn_ref[...].astype(jnp.float32) * onehot_b,
-                              axis=0)
-                hit_s = jnp.logical_and(
-                    jax.lax.broadcasted_iota(
-                        jnp.int32, ksslab.shape[1:], 0) == pos % 4,
-                    jax.lax.broadcasted_iota(
-                        jnp.int32, ksslab.shape[1:], 2) == w % SC,
-                )
-                ksslab[s] = jnp.where(
-                    hit_s, ksn[None, :, None].astype(ksslab.dtype), ksslab[s])
-                vsslab[s] = jnp.where(
-                    hit_s, vsn[None, :, None].astype(vsslab.dtype), vsslab[s])
-                pltpu.make_async_copy(
-                    kslab.at[s], ko_hbm.at[wsl], sem.at[s, 0]).start()
-                pltpu.make_async_copy(
-                    vslab.at[s], vo_hbm.at[wsl], sem.at[s, 1]).start()
-                pltpu.make_async_copy(
-                    ksslab.at[s], kso_hbm.at[ssl], sem.at[s, 2]).start()
-                pltpu.make_async_copy(
-                    vsslab.at[s], vso_hbm.at[ssl], sem.at[s, 3]).start()
-
-        for s in range(SPB):
-            @pl.when(valid(s))
-            def _(s=s):
-                wsl, ssl = wslab_slice(s), sslab_slice(s)
-                pltpu.make_async_copy(
-                    kslab.at[s], ko_hbm.at[wsl], sem.at[s, 0]).wait()
-                pltpu.make_async_copy(
-                    vslab.at[s], vo_hbm.at[wsl], sem.at[s, 1]).wait()
-                pltpu.make_async_copy(
-                    ksslab.at[s], kso_hbm.at[ssl], sem.at[s, 2]).wait()
-                pltpu.make_async_copy(
-                    vsslab.at[s], vso_hbm.at[ssl], sem.at[s, 3]).wait()
+                if not scales_res:
+                    ssl = sslab_slice(s)
+                    pltpu.make_async_copy(
+                        ks_hbm.at[ssl], ksslab.at[s], sem.at[s, 2]).start()
+                    pltpu.make_async_copy(
+                        vs_hbm.at[ssl], vsslab.at[s], sem.at[s, 3]).start()
 
     elif fused:
-        # FUSED KV APPEND: read-modify-write each slot's SLAB-row-aligned
-        # cache window (single rows can't address HBM's (8, 128) tiling) in
-        # the same kernel, before the read pipeline — the rows land in each
-        # slot's LAST live block, read at its final pipeline step, long
-        # after these waits.  Replaces the separate kv_append_dense call;
-        # all 2*SPB reads (then writes) fly concurrently.
+        # dense cache: slab-row-aligned RMW (single rows can't address HBM's
+        # (8, 128) tiling); reads start here, merge + writeback after the
+        # pipeline (see the overlap note above).
         SLAB = kslab.shape[-2]
 
         def slab_slice(s):
@@ -320,10 +255,6 @@ def _kernel_v2(bs, rep, Hkv, D, scale, stacked, paged, P, has_scales, SPB,
             return lead + (b0 + s, slice(None), pl.ds(start, SLAB),
                            slice(None))
 
-        def valid(s):
-            return jnp.logical_and(pos_ref[b0 + s] >= 0,
-                                   pos_ref[b0 + s] < S_cap)
-
         for s in range(SPB):
             @pl.when(valid(s))
             def _(s=s):
@@ -333,42 +264,54 @@ def _kernel_v2(bs, rep, Hkv, D, scale, stacked, paged, P, has_scales, SPB,
                 pltpu.make_async_copy(
                     v_hbm.at[sl], vslab.at[s], sem.at[s, 1]).start()
 
-        kn_all = kn_ref[...]  # (SPB, Hkv, D) new rows, already in VMEM
-        vn_all = vn_ref[...]
-        for s in range(SPB):
-            @pl.when(valid(s))
-            def _(s=s):
-                sl = slab_slice(s)
-                pltpu.make_async_copy(
-                    k_hbm.at[sl], kslab.at[s], sem.at[s, 0]).wait()
-                pltpu.make_async_copy(
-                    v_hbm.at[sl], vslab.at[s], sem.at[s, 1]).wait()
-                row = pos_ref[b0 + s] % SLAB
-                hit = jax.lax.broadcasted_iota(
-                    jnp.int32, kslab.shape[1:], 1) == row
-                kslab[s] = jnp.where(hit, kn_all[s][:, None, :], kslab[s])
-                vslab[s] = jnp.where(hit, vn_all[s][:, None, :], vslab[s])
-                pltpu.make_async_copy(
-                    kslab.at[s], ko_hbm.at[sl], sem.at[s, 0]).start()
-                pltpu.make_async_copy(
-                    vslab.at[s], vo_hbm.at[sl], sem.at[s, 1]).start()
-
-        for s in range(SPB):
-            @pl.when(valid(s))
-            def _(s=s):
-                sl = slab_slice(s)
-                pltpu.make_async_copy(
-                    kslab.at[s], ko_hbm.at[sl], sem.at[s, 0]).wait()
-                pltpu.make_async_copy(
-                    vslab.at[s], vo_hbm.at[sl], sem.at[s, 1]).wait()
-
     G = _pick_group(Hkv)
     n_grp = Hkv // G
     bw = bs // 4
     rows = bw if has_scales else bs
+
+    def eff_len(s):
+        """Rows the pipeline streams for slot s: a valid append row (always
+        at position lengths-1, the decode contract) is folded in-register
+        instead of read back, so it never counts."""
+        le = lens_ref[b0 + s]
+        if fused:
+            le = le - valid(s).astype(jnp.int32)
+        return le
+
+    def new_scale_row(s, ref):
+        """Row b0+s of a (B, Hkv) new-scale array via one-hot reduce (a
+        (1, Hkv) block violates Mosaic's sublane rule; dynamic sublane
+        indices must be 8-aligned)."""
+        onehot_b = (jax.lax.broadcasted_iota(
+            jnp.int32, ref.shape, 0) == b0 + s).astype(jnp.float32)
+        return jnp.sum(ref[...].astype(jnp.float32) * onehot_b, axis=0)
+
+    def fold_new_row(s):
+        """One extra online-softmax update from the VMEM-resident append row
+        (bit-identical inputs to reading the written row back: the operands
+        ARE what the RMW stores)."""
+        if has_scales:
+            ksn = new_scale_row(s, ksn_ref)  # (Hkv,)
+            vsn = new_scale_row(s, vsn_ref)
+            kn = (kn_ref[s].astype(jnp.float32) - 128.0) * ksn[:, None]
+            vn = (vn_ref[s].astype(jnp.float32) - 128.0) * vsn[:, None]
+        else:
+            kn = kn_ref[s].astype(jnp.float32)  # (Hkv, D)
+            vn = vn_ref[s].astype(jnp.float32)
+        for r in range(rep):
+            qr = q_ref[s][:, r, :].astype(jnp.float32)  # (Hkv, D)
+            sc = jnp.sum(qr * kn, axis=1, keepdims=True) * scale  # (Hkv, 1)
+            m_prev = m_ref[r]
+            m_new = jnp.maximum(m_prev, sc)
+            m_ref[r] = m_new
+            alpha = jnp.exp(m_prev - m_new)
+            p = jnp.exp(sc - m_new)
+            l_ref[r] = l_ref[r] * alpha + p
+            acc_ref[r] = acc_ref[r] * alpha + p * vn
+
     nmax = jnp.int32(1)
     for s in range(SPB):
-        nl = (lens_ref[b0 + s] + bs - 1) // bs
+        nl = (eff_len(s) + bs - 1) // bs
         nmax = jnp.maximum(nmax, nl)
     # own-head lane segments of a (G, G*rows) cross-product block
     seg = jax.lax.broadcasted_iota(jnp.int32, (G, G * rows), 1) // rows
@@ -418,9 +361,18 @@ def _kernel_v2(bs, rep, Hkv, D, scale, stacked, paged, P, has_scales, SPB,
         pid = pl.program_id(0)
         return pid // nmax, pid % nmax
 
+    def maybe_fold_then_finalize(s, i):
+        @pl.when(i == nmax - 1)
+        def _():
+            if fused:
+                @pl.when(valid(s))
+                def _():
+                    fold_new_row(s)
+            finalize(s, lens_ref[b0 + s])  # zero-check on the FULL length
+
     def body_bf16(k_blk, v_blk):
         s, i = split_pid()
-        length = lens_ref[b0 + s]
+        length = eff_len(s)
 
         @pl.when(i == 0)
         def _():
@@ -452,9 +404,7 @@ def _kernel_v2(bs, rep, Hkv, D, scale, stacked, paged, P, has_scales, SPB,
                     )  # (G, D)
                     acc_ref[r, sl] = acc_ref[r, sl] * alpha + pv
 
-        @pl.when(i == nmax - 1)
-        def _():
-            finalize(s, length)
+        maybe_fold_then_finalize(s, i)
 
     def field(wg, j):
         """Byte stream j of biased words, in place at bit offset 8j (exact in
@@ -467,9 +417,9 @@ def _kernel_v2(bs, rep, Hkv, D, scale, stacked, paged, P, has_scales, SPB,
     def inv_j(j):
         return 1.0 if j == 3 else float(2.0 ** (-8 * j))
 
-    def body_int8(k_blk, v_blk, ks_blk, vs_blk):
+    def body_int8(k_blk, v_blk, ks_blk=None, vs_blk=None):
         s, i = split_pid()
-        length = lens_ref[b0 + s]
+        length = eff_len(s)
 
         @pl.when(i == 0)
         def _():
@@ -477,6 +427,15 @@ def _kernel_v2(bs, rep, Hkv, D, scale, stacked, paged, P, has_scales, SPB,
 
         @pl.when(i * bs < length)
         def _():
+            if scales_res:
+                # scale arrays ride as VMEM-resident (SPB, 4, Hkv, S/4)
+                # operand blocks (their bw < 128 minor can't slice through
+                # the pipeline; S == bs so block i == the whole slot)
+                ksb = ks_hbm[s].astype(jnp.float32)  # (4, Hkv, bw)
+                vsb = vs_hbm[s].astype(jnp.float32)
+            else:
+                ksb = ks_blk[...].astype(jnp.float32)
+                vsb = vs_blk[...].astype(jnp.float32)
             qf = q_ref[s].astype(jnp.float32)  # (Hkv, rep, D)
             qsum128 = 128.0 * jnp.sum(qf, axis=2, keepdims=True)  # (Hkv, rep, 1)
             # j-concatenated (G, 4*bw) score lanes: l = j*bw+w -> pos i*bs+4w+j
@@ -498,7 +457,7 @@ def _kernel_v2(bs, rep, Hkv, D, scale, stacked, paged, P, has_scales, SPB,
                             preferred_element_type=jnp.float32,
                         )
                         su = fold_own(sx)  # (G, bw) = sum u·q·2^8j
-                        ksj = ks_blk[j, sl, :].astype(jnp.float32)
+                        ksj = ksb[j, sl, :]
                         parts.append(ksj * (su * inv_j(j) - qs_g) * scale)
                     scores = jnp.concatenate(parts, axis=1)  # (G, 4*bw)
                     scores = jnp.where(live, scores, NEG_INF)
@@ -506,7 +465,7 @@ def _kernel_v2(bs, rep, Hkv, D, scale, stacked, paged, P, has_scales, SPB,
                     pv = None
                     for j in range(4):
                         v2 = field(vg, j).reshape(G * bw, D)
-                        vsj = vs_blk[j, sl, :].astype(jnp.float32)
+                        vsj = vsb[j, sl, :]
                         pe = p[:, j * bw : (j + 1) * bw] * vsj  # (G, bw)
                         pX = expand_own(pe * inv_j(j))
                         dv = jax.lax.dot_general(
@@ -517,15 +476,13 @@ def _kernel_v2(bs, rep, Hkv, D, scale, stacked, paged, P, has_scales, SPB,
                         pv = dvj if pv is None else pv + dvj
                     acc_ref[r, sl] = acc_ref[r, sl] * alpha + pv
 
-        @pl.when(i == nmax - 1)
-        def _():
-            finalize(s, length)
+        maybe_fold_then_finalize(s, i)
 
     def blk_of(s, i):
         """Block index for slot s at pipeline step i, clamped to the slot's
         last live block: past-live steps re-address the resident block (no
         HBM traffic) and the body skips their compute."""
-        nl = jnp.maximum((lens_ref[b0 + s] + bs - 1) // bs, 1)
+        nl = jnp.maximum((eff_len(s) + bs - 1) // bs, 1)
         return jnp.minimum(i, nl - 1)
 
     def si(pid):
@@ -551,7 +508,12 @@ def _kernel_v2(bs, rep, Hkv, D, scale, stacked, paged, P, has_scales, SPB,
         return ((li_ref[0],) + idx) if stacked else idx
 
     lead = (None, None) if stacked else (None,)
-    if has_scales:
+    if has_scales and scales_res:
+        kv_spec = pl.BlockSpec(lead + (Hkv, bw, D), kv_idx)
+        pltpu.emit_pipeline(
+            body_int8, grid=(SPB * nmax,), in_specs=[kv_spec, kv_spec],
+        )(k_hbm, v_hbm)
+    elif has_scales:
         kv_spec = pl.BlockSpec(lead + (Hkv, bw, D), kv_idx)
         sc_spec = pl.BlockSpec(lead + (4, Hkv, bw), sc_idx)
         pltpu.emit_pipeline(
@@ -563,6 +525,128 @@ def _kernel_v2(bs, rep, Hkv, D, scale, stacked, paged, P, has_scales, SPB,
         pltpu.emit_pipeline(
             body_bf16, grid=(SPB * nmax,), in_specs=[kv_spec, kv_spec]
         )(k_hbm, v_hbm)
+
+    # phase 3 (fused append): the pipeline's reads are all complete, so the
+    # slab merge + writeback can touch the aliased cache freely; the only
+    # serial tail is the merge VPU work + the write DMA itself.
+    if fused and has_scales:
+        kn_all = kn_ref[...]  # (SPB, Hkv, D) int32 biased bytes (1..255)
+        vn_all = vn_ref[...]
+        if scales_res:
+            # scale in/outputs are grid-blocked VMEM (whole-slot chunks,
+            # written back by Mosaic like kv_append's aliased blocks — a
+            # DMA from a sub-128-lane scratch slice is illegal); EVERY slot
+            # writes its block: invalid slots copy old values through.
+            sshape = ks_hbm.shape[1:]  # (4, Hkv, Sw)
+            for s in range(SPB):
+                pos = pos_ref[b0 + s]
+                hit_s = jnp.logical_and(
+                    jax.lax.broadcasted_iota(jnp.int32, sshape, 0) == pos % 4,
+                    jax.lax.broadcasted_iota(
+                        jnp.int32, sshape, 2) == word_of(s) % SC,
+                )
+                hit_s = jnp.logical_and(hit_s, valid(s))
+                ksn = new_scale_row(s, ksn_ref)  # (Hkv,)
+                vsn = new_scale_row(s, vsn_ref)
+                kso_hbm[s] = jnp.where(
+                    hit_s, ksn[None, :, None].astype(ks_hbm.dtype), ks_hbm[s])
+                vso_hbm[s] = jnp.where(
+                    hit_s, vsn[None, :, None].astype(vs_hbm.dtype), vs_hbm[s])
+        for s in range(SPB):
+            @pl.when(valid(s))
+            def _(s=s):
+                wsl, ssl = wslab_slice(s), sslab_slice(s)
+                pltpu.make_async_copy(
+                    k_hbm.at[wsl], kslab.at[s], sem.at[s, 0]).wait()
+                pltpu.make_async_copy(
+                    v_hbm.at[wsl], vslab.at[s], sem.at[s, 1]).wait()
+                if not scales_res:
+                    pltpu.make_async_copy(
+                        ks_hbm.at[ssl], ksslab.at[s], sem.at[s, 2]).wait()
+                    pltpu.make_async_copy(
+                        vs_hbm.at[ssl], vsslab.at[s], sem.at[s, 3]).wait()
+                pos = pos_ref[b0 + s]
+                w = word_of(s)
+                sh = (pos % 4) * 8
+                keep = ~(255 << sh)
+                hit_w = jax.lax.broadcasted_iota(
+                    jnp.int32, kslab.shape[1:], 1) == w % WSLAB
+                kslab[s] = jnp.where(
+                    hit_w,
+                    (kslab[s] & keep) | ((kn_all[s][:, None, :] & 255) << sh),
+                    kslab[s])
+                vslab[s] = jnp.where(
+                    hit_w,
+                    (vslab[s] & keep) | ((vn_all[s][:, None, :] & 255) << sh),
+                    vslab[s])
+                if not scales_res:
+                    ksn = new_scale_row(s, ksn_ref)  # (Hkv,)
+                    vsn = new_scale_row(s, vsn_ref)
+                    hit_s = jnp.logical_and(
+                        jax.lax.broadcasted_iota(
+                            jnp.int32, ksslab.shape[1:], 0) == pos % 4,
+                        jax.lax.broadcasted_iota(
+                            jnp.int32, ksslab.shape[1:], 2) == w % SC,
+                    )
+                    ksslab[s] = jnp.where(
+                        hit_s, ksn[None, :, None].astype(ksslab.dtype),
+                        ksslab[s])
+                    vsslab[s] = jnp.where(
+                        hit_s, vsn[None, :, None].astype(vsslab.dtype),
+                        vsslab[s])
+                pltpu.make_async_copy(
+                    kslab.at[s], ko_hbm.at[wsl], sem.at[s, 0]).start()
+                pltpu.make_async_copy(
+                    vslab.at[s], vo_hbm.at[wsl], sem.at[s, 1]).start()
+                if not scales_res:
+                    pltpu.make_async_copy(
+                        ksslab.at[s], kso_hbm.at[ssl], sem.at[s, 2]).start()
+                    pltpu.make_async_copy(
+                        vsslab.at[s], vso_hbm.at[ssl], sem.at[s, 3]).start()
+
+        for s in range(SPB):
+            @pl.when(valid(s))
+            def _(s=s):
+                wsl, ssl = wslab_slice(s), sslab_slice(s)
+                pltpu.make_async_copy(
+                    kslab.at[s], ko_hbm.at[wsl], sem.at[s, 0]).wait()
+                pltpu.make_async_copy(
+                    vslab.at[s], vo_hbm.at[wsl], sem.at[s, 1]).wait()
+                if not scales_res:
+                    pltpu.make_async_copy(
+                        ksslab.at[s], kso_hbm.at[ssl], sem.at[s, 2]).wait()
+                    pltpu.make_async_copy(
+                        vsslab.at[s], vso_hbm.at[ssl], sem.at[s, 3]).wait()
+
+    elif fused:
+        kn_all = kn_ref[...]  # (SPB, Hkv, D) new rows, already in VMEM
+        vn_all = vn_ref[...]
+        for s in range(SPB):
+            @pl.when(valid(s))
+            def _(s=s):
+                sl = slab_slice(s)
+                pltpu.make_async_copy(
+                    k_hbm.at[sl], kslab.at[s], sem.at[s, 0]).wait()
+                pltpu.make_async_copy(
+                    v_hbm.at[sl], vslab.at[s], sem.at[s, 1]).wait()
+                row = pos_ref[b0 + s] % SLAB
+                hit = jax.lax.broadcasted_iota(
+                    jnp.int32, kslab.shape[1:], 1) == row
+                kslab[s] = jnp.where(hit, kn_all[s][:, None, :], kslab[s])
+                vslab[s] = jnp.where(hit, vn_all[s][:, None, :], vslab[s])
+                pltpu.make_async_copy(
+                    kslab.at[s], ko_hbm.at[sl], sem.at[s, 0]).start()
+                pltpu.make_async_copy(
+                    vslab.at[s], vo_hbm.at[sl], sem.at[s, 1]).start()
+
+        for s in range(SPB):
+            @pl.when(valid(s))
+            def _(s=s):
+                sl = slab_slice(s)
+                pltpu.make_async_copy(
+                    kslab.at[s], ko_hbm.at[sl], sem.at[s, 0]).wait()
+                pltpu.make_async_copy(
+                    vslab.at[s], vo_hbm.at[sl], sem.at[s, 1]).wait()
 
 
 def _decode_attention_v2(q4, k, v, lengths, bs, rep, Hkv, D,
@@ -604,6 +688,13 @@ def _decode_attention_v2(q4, k, v, lengths, bs, rep, Hkv, D,
         n_prefetch += 1
     q_index = (lambda g, *_: (g, 0, 0, 0))
     S_cap = k.shape[-2] * (4 if has_scales else 1)
+    # scale arrays whose bw < 128 minor cannot slice through the inner
+    # pipeline instead ride as VMEM-resident grid blocks (requires a single
+    # block per slot, S == bs — the dispatch guarantees it); this is what
+    # lets small-S (< 512) int8 caches use the v2 kernel at all
+    scales_res = has_scales and (bs // 4) % 128 != 0
+    if scales_res:
+        assert not paged and k.shape[-2] * 4 == bs
     operands = [q4, k, v] + ([k_scale, v_scale] if has_scales else [])
     in_specs = (
         [pl.BlockSpec((SPB, Hkv, rep, D), q_index, memory_space=pltpu.VMEM)]
@@ -616,6 +707,18 @@ def _decode_attention_v2(q4, k, v, lengths, bs, rep, Hkv, D,
         hbm = pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)
         for i in range(1, len(operands)):
             in_specs[i] = hbm
+    if scales_res:
+        Sw = k.shape[-2]
+        # prefetch-arg order at this level: lens[, li][, pos] (paged is
+        # excluded above, so li — when stacked — is always rest[0])
+        sc_block = pl.BlockSpec(
+            ((SPB,) if layer_idx is None else (None, SPB)) + (4, Hkv, Sw),
+            (lambda g, *_: (g, 0, 0, 0)) if layer_idx is None
+            else (lambda g, lens, *rest: (rest[0][0], g, 0, 0, 0)),
+            memory_space=pltpu.VMEM,
+        )
+        in_specs[3] = sc_block
+        in_specs[4] = sc_block
     out_shape = jax.ShapeDtypeStruct((B, Hkv, rep, D), q4.dtype)
     out_specs = pl.BlockSpec((SPB, Hkv, rep, D), q_index,
                              memory_space=pltpu.VMEM)
@@ -642,8 +745,12 @@ def _decode_attention_v2(q4, k, v, lengths, bs, rep, Hkv, D,
             jax.ShapeDtypeStruct(a.shape, a.dtype)
             for a in (k, v, k_scale, v_scale)
         ]
-        out_specs = [out_specs] + [
-            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)] * 4
+        hbm_o = pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)
+        # resident scales write back as grid blocks (same spec as their
+        # aliased inputs, the kv_append pattern) — a sub-128-lane scratch
+        # DMA is illegal on the padded VMEM tile
+        sc_out = sc_block if scales_res else hbm_o
+        out_specs = [out_specs, hbm_o, hbm_o, sc_out, sc_out]
         scratch += [
             pltpu.VMEM((SPB, Hkv, 8, D), jnp.int32),  # 8 = int32 sublane tile
             pltpu.VMEM((SPB, Hkv, 8, D), jnp.int32),
@@ -678,7 +785,7 @@ def _decode_attention_v2(q4, k, v, lengths, bs, rep, Hkv, D,
     out = pl.pallas_call(
         functools.partial(
             _kernel_v2, bs, rep, Hkv, D, D ** -0.5, stacked, paged, P,
-            has_scales, SPB, fused, S_cap,
+            has_scales, SPB, fused, S_cap, scales_res,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=n_prefetch,
@@ -805,14 +912,17 @@ def decode_attention(
 
     # real-TPU fast path: one program per slot, inner dynamic-grid pipeline
     # over its live blocks (emit_pipeline has no interpreter support).
-    # int8 blocks need 128-word-aligned scale rows (bs % 512 == 0, i.e.
-    # paged page_size % 512 / dense S >= 512) for the pipelined scale
-    # slices — the (4, Hkv, bw) blocks' bw minor can't go below one lane
-    # tile (Mosaic rejects the sub-128 minor; measured: dense int8 at
-    # S=128 failed to compile).  Smaller shapes take the v1 grid kernel.
+    # int8 scale blocks (4, Hkv, bw) need bw % 128 == 0 to SLICE through the
+    # pipeline (Mosaic rejects sub-128 minors; measured: dense int8 at S=128
+    # failed to compile) — bs % 512 == 0, i.e. paged page_size % 512 or
+    # dense S >= 512.  Smaller DENSE caches (S == bs, one block per slot)
+    # still run v2 with the scale arrays as VMEM-resident grid blocks;
+    # small paged pools take the v1 grid kernel.
     if kv_new is not None:
         assert not paged, "kv_new: dense or packed-int8 caches, not paged"
-    v2_ok = not interpret and S % bs == 0 and not (has_scales and bw % 128)
+    v2_ok = not interpret and S % bs == 0 and (
+        not has_scales or bw % 128 == 0 or (not paged and S == bs)
+    )
     if kv_new is not None and not has_scales and S % (
         32 // jnp.dtype(k.dtype).itemsize
     ):

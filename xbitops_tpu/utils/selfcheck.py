@@ -202,6 +202,61 @@ def check_decode_attention() -> None:
         np.asarray(ks_upd[1]), np.asarray(wks[0]),
         err_msg="fused int8 stacked scale write")
 
+    # SMALL-S int8 (S=128 -> bw=32 < 128): scale arrays ride as VMEM-resident
+    # grid blocks instead of pipelined slices (round-4 scales_res path; the
+    # round-3 kernel rejected these shapes and fell back to v1).  Plain +
+    # fused-append, flat + stacked.
+    Ss = 128
+    ks_small = ks_p[..., : Ss // 4]
+    vs_small = vs_p[..., : Ss // 4]
+    kw_small = kw[..., : Ss // 4, :]
+    vw_small = vw[..., : Ss // 4, :]
+    lengths_s = jnp.asarray([1, 60, 100, 128], jnp.int32)
+    got = np.asarray(
+        decode_attention(q, kw_small, vw_small, lengths_s,
+                         k_scale=ks_small, v_scale=vs_small),
+        np.float32,
+    )
+    want_qs = np.asarray(_ref_att(q, kd[:, :Ss], vd[:, :Ss], lengths_s))
+    np.testing.assert_allclose(got, want_qs, rtol=5e-2, atol=2e-2,
+                               err_msg="int8 small-S")
+    pos_s = jnp.asarray([0, 59, 99, Ss], jnp.int32)  # last drops (>= S)
+    lens_s2 = jnp.minimum(pos_s + 1, Ss)
+    kv_new_s = (kqn[:, 0], vqn[:, 0], ksn[:, 0], vsn[:, 0], pos_s)
+    wk_s, wv_s, wks_s, wvs_s = kv_append_packed(
+        kw_small[None], vw_small[None], ks_small[None], vs_small[None],
+        *kv_new_s, jnp.int32(0)
+    )
+    want_fs = np.asarray(
+        decode_attention(q, wk_s[0], wv_s[0], lens_s2, k_scale=wks_s[0],
+                         v_scale=wvs_s[0]),
+        np.float32,
+    )
+    got, k_upd, v_upd, ks_upd, vs_upd = decode_attention(
+        q, kw_small, vw_small, lens_s2, k_scale=ks_small, v_scale=vs_small,
+        kv_new=kv_new_s)
+    np.testing.assert_allclose(np.asarray(got, np.float32), want_fs,
+                               rtol=5e-2, atol=2e-2,
+                               err_msg="fused int8 small-S")
+    for g, w, nm in ((k_upd, wk_s[0], "k"), (v_upd, wv_s[0], "v"),
+                     (ks_upd, wks_s[0], "ks"), (vs_upd, wvs_s[0], "vs")):
+        np.testing.assert_array_equal(
+            np.asarray(g), np.asarray(w),
+            err_msg=f"fused int8 small-S {nm} write")
+    got, k_upd, _, ks_upd, _ = decode_attention(
+        q, jnp.stack([kw_small] * L), jnp.stack([vw_small] * L), lens_s2,
+        layer_idx=jnp.int32(1), k_scale=jnp.stack([ks_small] * L),
+        v_scale=jnp.stack([vs_small] * L), kv_new=kv_new_s)
+    np.testing.assert_allclose(np.asarray(got, np.float32), want_fs,
+                               rtol=5e-2, atol=2e-2,
+                               err_msg="fused int8 small-S stacked")
+    np.testing.assert_array_equal(
+        np.asarray(k_upd[1]), np.asarray(wk_s[0]),
+        err_msg="fused int8 small-S stacked write")
+    np.testing.assert_array_equal(
+        np.asarray(ks_upd[0]), np.asarray(ks_small),
+        err_msg="fused int8 small-S other layer untouched")
+
     # paged (flat + stacked): identity page table, pool == dense cache
     psz = 256
     P = S // psz
