@@ -196,6 +196,18 @@ def _kernel_v2(bs, rep, Hkv, D, scale, stacked, paged, P, has_scales, SPB,
             return jnp.logical_and(pos_ref[b0 + s] >= 0,
                                    pos_ref[b0 + s] < S_cap)
 
+        def boundary(s):
+            # the append position opens a fresh block: its slab lies OUTSIDE
+            # every block the attention pipeline reads, so only these (1 in
+            # bs/SLAB steps) pay an HBM slab read — all other appends copy
+            # the slab out of the slot's last RESIDENT pipeline block, the
+            # rows of which are the same HBM values (round-4: the constant
+            # slab read was ~1/3 of the kernel's DMA at B=8, 1/2 at B=32)
+            pos = pos_ref[b0 + s]
+            return jnp.logical_and(
+                valid(s), jnp.logical_and(pos % bs == 0, pos > 0)
+            )
+
     # FUSED KV APPEND (round-4 overlap design): the append row lives at
     # position lengths-1 (the decode contract), so the attention pipeline
     # streams only lengths-1 cached rows and the new row is FOLDED
@@ -227,14 +239,17 @@ def _kernel_v2(bs, rep, Hkv, D, scale, stacked, paged, P, has_scales, SPB,
                            pl.ds(start, SC))
 
         for s in range(SPB):
-            @pl.when(valid(s))
+            @pl.when(boundary(s))
             def _(s=s):
                 wsl = wslab_slice(s)
                 pltpu.make_async_copy(
                     k_hbm.at[wsl], kslab.at[s], sem.at[s, 0]).start()
                 pltpu.make_async_copy(
                     v_hbm.at[wsl], vslab.at[s], sem.at[s, 1]).start()
-                if not scales_res:
+
+            if not scales_res:
+                @pl.when(valid(s))
+                def _(s=s):
                     ssl = sslab_slice(s)
                     pltpu.make_async_copy(
                         ks_hbm.at[ssl], ksslab.at[s], sem.at[s, 2]).start()
@@ -256,7 +271,7 @@ def _kernel_v2(bs, rep, Hkv, D, scale, stacked, paged, P, has_scales, SPB,
                            slice(None))
 
         for s in range(SPB):
-            @pl.when(valid(s))
+            @pl.when(boundary(s))
             def _(s=s):
                 sl = slab_slice(s)
                 pltpu.make_async_copy(
@@ -361,6 +376,28 @@ def _kernel_v2(bs, rep, Hkv, D, scale, stacked, paged, P, has_scales, SPB,
         pid = pl.program_id(0)
         return pid // nmax, pid % nmax
 
+    def copy_slab_from_resident(s, i, k_blk, v_blk):
+        """Fill the append slab from the slot's last RESIDENT pipeline block
+        (same HBM values the phase-1 read would fetch, already in VMEM) —
+        only block-boundary appends (see ``boundary``) read HBM."""
+        if not fused:
+            return
+        SLB = kslab.shape[-2]
+        rows_per_blk = bw if has_scales else bs  # block rows along S(/4)
+
+        @pl.when(jnp.logical_and(
+            i == nmax - 1,
+            jnp.logical_and(valid(s), jnp.logical_not(boundary(s))),
+        ))
+        def _():
+            pos = pos_ref[b0 + s]
+            r = pos // 4 if has_scales else pos  # row on the S(/4) axis
+            nl = jnp.maximum((eff_len(s) + bs - 1) // bs, 1)
+            off = (r // SLB) * SLB - (nl - 1) * rows_per_blk
+            off = pl.multiple_of(off, SLB)
+            kslab[s] = k_blk[:, pl.ds(off, SLB), :]
+            vslab[s] = v_blk[:, pl.ds(off, SLB), :]
+
     def maybe_fold_then_finalize(s, i):
         @pl.when(i == nmax - 1)
         def _():
@@ -404,6 +441,7 @@ def _kernel_v2(bs, rep, Hkv, D, scale, stacked, paged, P, has_scales, SPB,
                     )  # (G, D)
                     acc_ref[r, sl] = acc_ref[r, sl] * alpha + pv
 
+        copy_slab_from_resident(s, i, k_blk, v_blk)
         maybe_fold_then_finalize(s, i)
 
     def field(wg, j):
@@ -476,6 +514,7 @@ def _kernel_v2(bs, rep, Hkv, D, scale, stacked, paged, P, has_scales, SPB,
                         pv = dvj if pv is None else pv + dvj
                     acc_ref[r, sl] = acc_ref[r, sl] * alpha + pv
 
+        copy_slab_from_resident(s, i, k_blk, v_blk)
         maybe_fold_then_finalize(s, i)
 
     def blk_of(s, i):
@@ -553,13 +592,17 @@ def _kernel_v2(bs, rep, Hkv, D, scale, stacked, paged, P, has_scales, SPB,
                 vso_hbm[s] = jnp.where(
                     hit_s, vsn[None, :, None].astype(vs_hbm.dtype), vs_hbm[s])
         for s in range(SPB):
-            @pl.when(valid(s))
-            def _(s=s):
-                wsl, ssl = wslab_slice(s), sslab_slice(s)
+            @pl.when(boundary(s))
+            def _(s=s):  # non-boundary slabs were copied from resident blocks
+                wsl = wslab_slice(s)
                 pltpu.make_async_copy(
                     k_hbm.at[wsl], kslab.at[s], sem.at[s, 0]).wait()
                 pltpu.make_async_copy(
                     v_hbm.at[wsl], vslab.at[s], sem.at[s, 1]).wait()
+
+            @pl.when(valid(s))
+            def _(s=s):
+                wsl, ssl = wslab_slice(s), sslab_slice(s)
                 if not scales_res:
                     pltpu.make_async_copy(
                         ks_hbm.at[ssl], ksslab.at[s], sem.at[s, 2]).wait()
@@ -622,13 +665,17 @@ def _kernel_v2(bs, rep, Hkv, D, scale, stacked, paged, P, has_scales, SPB,
         kn_all = kn_ref[...]  # (SPB, Hkv, D) new rows, already in VMEM
         vn_all = vn_ref[...]
         for s in range(SPB):
-            @pl.when(valid(s))
-            def _(s=s):
+            @pl.when(boundary(s))
+            def _(s=s):  # non-boundary slabs were copied from resident blocks
                 sl = slab_slice(s)
                 pltpu.make_async_copy(
                     k_hbm.at[sl], kslab.at[s], sem.at[s, 0]).wait()
                 pltpu.make_async_copy(
                     v_hbm.at[sl], vslab.at[s], sem.at[s, 1]).wait()
+
+            @pl.when(valid(s))
+            def _(s=s):
+                sl = slab_slice(s)
                 row = pos_ref[b0 + s] % SLAB
                 hit = jax.lax.broadcasted_iota(
                     jnp.int32, kslab.shape[1:], 1) == row
