@@ -103,7 +103,10 @@ def main() -> None:
     key = jax.random.PRNGKey(0)
 
     log("building 4-bit 7B model (random packed bits)...")
-    qparams = llama.stack_layers(synth.random_llama_params(key, cfg, bits=4, group_size=128))
+    qparams = llama.stack_layers(
+        synth.random_llama_params(key, cfg, bits=4, group_size=128),
+        consume=True,  # peak HBM: one model + a layer, not two models
+    )
     qparams = jax.block_until_ready(qparams)
     qbytes = packed_model_bytes(qparams)
     log(f"quant model packed bytes: {qbytes / 1e9:.2f} GB")

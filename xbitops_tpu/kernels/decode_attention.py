@@ -947,9 +947,14 @@ def decode_attention(
         n_blocks = P
     else:
         S = k.shape[-2] * pack
-        # default block: 512 positions for packed words (2 MB/block), 256 for
-        # bf16 (4 MB/block — 512 would blow the 16 MB scoped VMEM at MHA)
-        bs = min(block_s or (512 if has_scales else 256), S)
+        # default block: 512 positions for packed words (the pipelined scale
+        # blocks' 128-lane minimum, 2 MB/block); 128 for bf16 — block
+        # granularity rounds every slot's reads UP to a block, and serving
+        # lives at short-to-mid lengths where a 256-row block doubled the
+        # read bytes (measured round 4: S=256 live<=120 serving paid ~1.3
+        # ms/step extra at B=32).  At long context the waste is the tail
+        # block only (<=3% at live=1000) and finer blocks pipeline the same.
+        bs = min(block_s or (512 if has_scales else 128), S)
         n_blocks = common.cdiv(S, bs)
     assert H % Hkv == 0
     rep = H // Hkv

@@ -68,6 +68,14 @@ class LlamaConfig:
         )
 
     @staticmethod
+    def llama3_8b() -> "LlamaConfig":
+        """Llama-3-8B: GQA (8 kv heads), 128k vocab, theta 5e5, 8k context."""
+        return LlamaConfig(
+            vocab_size=128256, intermediate_size=14336, num_kv_heads=8,
+            rope_theta=500000.0, max_seq_len=8192,
+        )
+
+    @staticmethod
     def tiny(vocab: int = 256, seq: int = 64) -> "LlamaConfig":
         """Test-size config (shapes still tile-legal: hidden 256, ffn 512)."""
         return LlamaConfig(
@@ -914,21 +922,38 @@ def forward(
     return logits, new_cache
 
 
-def stack_layers(params: dict) -> dict:
+def stack_layers(params: dict, consume: bool = False) -> dict:
     """Stack the per-layer param list into one pytree with a leading layer
     axis, switching ``forward`` to a ``lax.scan`` over layers (O(1) compile
-    time in depth).  Requires every layer to have identical structure (true
-    unless act-order fusion was skipped for some layers only).
+    time in depth; the fused kernel reads layer planes IN PLACE via
+    scalar-prefetch indexing, so stacked runs at full speed).  Requires
+    every layer to have identical structure (true unless act-order fusion
+    was skipped for some layers only).
 
-    Trade-off (measured, 7B on v5e): compile 48s -> 2.3s, but decode
-    12.3 ms/step vs 7.9 unrolled — XLA cannot fuse scan's weight
-    dynamic-slice into a Pallas custom call, so each layer's packed planes
-    are copied once per step.  Use for fast iteration / very deep models;
-    leave unrolled for peak decode throughput."""
+    ``consume=True`` frees each per-layer buffer as soon as its stacked
+    column is built (and CLEARS the input's layer dicts): peak HBM is one
+    model + one layer instead of two models — the difference between a
+    13B 4-bit model stacking on a 16 GB chip and OOMing."""
     layers = params["layers"]
     if not isinstance(layers, (list, tuple)):
         return params
-    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
+    if not consume:
+        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
+        return dict(params, layers=stacked)
+    flat = [jax.tree_util.tree_flatten(layer) for layer in layers]
+    treedef = flat[0][1]
+    if any(f[1] != treedef for f in flat[1:]):
+        raise ValueError("stack_layers: layers differ in structure")
+    cols = [f[0] for f in flat]
+    for layer in layers:
+        layer.clear()  # drop the dict -> leaf references (consume semantics)
+    n_leaves = len(cols[0])
+    stacked_leaves = []
+    for j in range(n_leaves):
+        stacked_leaves.append(jnp.stack([c[j] for c in cols]))
+        for c in cols:
+            c[j] = None  # free layer j's buffer before stacking leaf j+1
+    stacked = jax.tree_util.tree_unflatten(treedef, stacked_leaves)
     return dict(params, layers=stacked)
 
 
