@@ -30,7 +30,11 @@ def _chained_scalar(step: Callable):
     @jax.jit
     def run(x, n):
         y = lax.fori_loop(0, n, lambda i, v: step(v), x)
-        return jnp.sum(y.astype(jnp.float32))
+        # pytree carries welcome; the reduce runs once per CALL, so its cost
+        # differences out of the two-count slope
+        return sum(
+            jnp.sum(leaf.astype(jnp.float32)) for leaf in jax.tree.leaves(y)
+        )
 
     return run
 
