@@ -349,6 +349,10 @@ class IndexedQTensor:
 class Runtime:
     """Single-chip execution: linears are plain fused qmatmuls."""
 
+    # set by expert-parallel entry points (models/moe.py): the mesh axis the
+    # MoE combine psums over (None = all experts local)
+    expert_axis = None
+
     def col(self, x, w, **kw):
         return _linear(x, w, **kw)
 
@@ -824,6 +828,14 @@ def _block(
     x = x + rt.row(att.reshape(B, T, H * D), layer["wo"], a8=a8)
 
     hx = rms_norm(x, layer["ln_mlp"], cfg.rms_eps)
+    if "router" in layer:  # sparse MoE FFN (models/moe.py)
+        from xbitops_tpu.models import moe
+
+        x = x + moe.moe_ffn(
+            hx, layer, cfg,
+            expert_axis=getattr(rt, "expert_axis", None), a8=a8,
+        )
+        return x, (k_all, v_all, ks_all, vs_all)
     if "w_gateup" in layer:  # fused projection: one packed matmul for gate|up
         gu = rt.col(hx, layer["w_gateup"], a8=a8)
         gate, up = gu[..., : cfg.intermediate_size], gu[..., cfg.intermediate_size :]
@@ -937,6 +949,11 @@ def stack_layers(params: dict, consume: bool = False) -> dict:
     layers = params["layers"]
     if not isinstance(layers, (list, tuple)):
         return params
+    if any("router" in layer for layer in layers):
+        # MoE expert QTensors already carry their (expert) stacking axis; a
+        # second layer axis would break the in-place expert indexing — MoE
+        # models run unrolled (the engine's try/except falls back to the list)
+        raise ValueError("MoE layers run unrolled; stack_layers unsupported")
     if not consume:
         stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
         return dict(params, layers=stacked)
