@@ -151,9 +151,23 @@ def cmd_bench(args) -> int:
     from xbitops_tpu.utils.benchlib import measure_step
     from xbitops_tpu.kernels.qgemv_kernel import qmatmul_kernel
 
+    from xbitops_tpu.models import llama
+
+    cfgs = {
+        "llama2-7b": llama.LlamaConfig.llama2_7b(),
+        "llama2-13b": llama.LlamaConfig.llama2_13b(),
+        "llama3-8b": llama.LlamaConfig.llama3_8b(),
+    }
+    cfg = cfgs[args.model]
+    h, ffn = cfg.hidden_size, cfg.intermediate_size
+    qdim = cfg.num_heads * cfg.head_dim
+    kvdim = cfg.num_kv_heads * cfg.head_dim
+    shapes = [  # the model's per-layer projections (fused qkv / gate|up)
+        (h, qdim + 2 * kvdim), (qdim, h), (h, 2 * ffn), (ffn, h),
+    ]
     key = jax.random.PRNGKey(0)
     rows = []
-    for K, N in [(4096, 12288), (4096, 4096), (4096, 22016), (11008, 4096)]:
+    for K, N in shapes:
         qt = synth.random_qtensor(key, K, N, args.bits, args.group_size)
         a = jax.random.normal(key, (args.batch, qt.K), jnp.bfloat16) * 0.2
 
@@ -198,7 +212,9 @@ def main(argv=None) -> int:
     g.add_argument("--seed", type=int, default=0)
     g.set_defaults(fn=cmd_generate)
 
-    b = sub.add_parser("bench", help="op-level fused-kernel bench (7B shapes)")
+    b = sub.add_parser("bench", help="op-level fused-kernel bench (model-family shapes)")
+    b.add_argument("--model", default="llama2-7b",
+                   choices=["llama2-7b", "llama2-13b", "llama3-8b"])
     b.add_argument("--bits", type=int, default=4)
     b.add_argument("--group-size", type=int, default=128)
     b.add_argument("--batch", type=int, default=4)
