@@ -174,6 +174,83 @@ def test_load_autogptq_tp(ckpt_dir):
         )
 
 
+@pytest.fixture(scope="module")
+def mixtral_ckpt_dir(tmp_path_factory):
+    """Synthesized AutoGPTQ MIXTRAL checkpoint (2 experts, top-2)."""
+    d = tmp_path_factory.mktemp("autogptq_mixtral")
+    rng = np.random.default_rng(1)
+    tensors = {}
+    E = 2
+    for i in range(LAYERS):
+        pre = f"model.layers.{i}"
+        qdim, kvdim = HEADS * HEAD_DIM, KV_HEADS * HEAD_DIM
+        _quantized_entry(rng, tensors, f"{pre}.self_attn.q_proj", H, qdim)
+        _quantized_entry(rng, tensors, f"{pre}.self_attn.k_proj", H, kvdim)
+        _quantized_entry(rng, tensors, f"{pre}.self_attn.v_proj", H, kvdim)
+        _quantized_entry(rng, tensors, f"{pre}.self_attn.o_proj", qdim, H)
+        tensors[f"{pre}.block_sparse_moe.gate.weight"] = (
+            rng.standard_normal((E, H)) * 0.1
+        ).astype(np.float16)
+        for e in range(E):
+            ep = f"{pre}.block_sparse_moe.experts.{e}"
+            _quantized_entry(rng, tensors, f"{ep}.w1", H, FFN)
+            _quantized_entry(rng, tensors, f"{ep}.w3", H, FFN)
+            _quantized_entry(rng, tensors, f"{ep}.w2", FFN, H)
+        tensors[f"{pre}.input_layernorm.weight"] = np.ones(H, np.float16)
+        tensors[f"{pre}.post_attention_layernorm.weight"] = np.ones(H, np.float16)
+    tensors["model.embed_tokens.weight"] = (
+        rng.standard_normal((VOCAB, H)) * 0.02
+    ).astype(np.float16)
+    tensors["model.norm.weight"] = np.ones(H, np.float16)
+    tensors["lm_head.weight"] = (rng.standard_normal((VOCAB, H)) * 0.1).astype(
+        np.float16
+    )
+    st_np.save_file(tensors, str(d / "model.safetensors"))
+    (d / "config.json").write_text(
+        json.dumps(
+            dict(
+                model_type="mixtral",
+                vocab_size=VOCAB,
+                hidden_size=H,
+                intermediate_size=FFN,
+                num_hidden_layers=LAYERS,
+                num_attention_heads=HEADS,
+                num_key_value_heads=KV_HEADS,
+                head_dim=HEAD_DIM,
+                num_local_experts=E,
+                num_experts_per_tok=2,
+                max_position_embeddings=64,
+            )
+        )
+    )
+    (d / "quantize_config.json").write_text(
+        json.dumps(dict(bits=BITS, group_size=GROUP, desc_act=False))
+    )
+    return d
+
+
+def test_load_mixtral(mixtral_ckpt_dir):
+    from xbitops_tpu.models.moe import MoeConfig
+
+    params, cfg = load_autogptq(str(mixtral_ckpt_dir), max_seq_len=32)
+    assert isinstance(cfg, MoeConfig)
+    assert cfg.n_experts == 2 and cfg.experts_per_token == 2
+    l0 = params["layers"][0]
+    assert l0["router"].shape == (H, 2)
+    assert isinstance(l0["w_experts_gateup"], formats.QTensor)
+    assert l0["w_experts_gateup"].planes[0].shape[0] == 2  # expert axis
+    assert l0["w_experts_gateup"].shape == (H, 2 * FFN)
+    assert "w_down" not in l0 and "w_gateup" not in l0
+    # forward runs (prefill + decode) through the MoE FFN
+    cache = llama.KVCache.init(cfg, 2)
+    tokens = jnp.asarray([[1, 5, 9], [2, 4, 0]], jnp.int32)
+    logits, cache = llama.prefill(params, cfg, tokens, cache)
+    assert logits.shape == (2, 3, VOCAB)
+    assert bool(jnp.all(jnp.isfinite(logits.astype(jnp.float32))))
+    with pytest.raises(NotImplementedError, match="EXPERT"):
+        load_autogptq(str(mixtral_ckpt_dir), tp=2)
+
+
 def test_packed_roundtrip(ckpt_dir, tmp_path):
     d, _ = ckpt_dir
     params, cfg = load_autogptq(str(d))

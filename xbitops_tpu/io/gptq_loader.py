@@ -50,7 +50,7 @@ def llama_config_from_hf(cfg: dict, max_seq_len: Optional[int] = None) -> LlamaC
     rs_type = {"linear": "linear", "dynamic": "ntk", "ntk": "ntk"}.get(
         rs.get("type", rs.get("rope_type"))
     )
-    return LlamaConfig(
+    fields = dict(
         vocab_size=cfg["vocab_size"],
         hidden_size=cfg["hidden_size"],
         intermediate_size=cfg["intermediate_size"],
@@ -64,6 +64,15 @@ def llama_config_from_hf(cfg: dict, max_seq_len: Optional[int] = None) -> LlamaC
         rope_scaling_type=rs_type,
         rope_scaling_factor=float(rs.get("factor", 1.0)),
     )
+    if cfg.get("model_type") == "mixtral":
+        from xbitops_tpu.models.moe import MoeConfig
+
+        return MoeConfig(
+            **fields,
+            n_experts=cfg.get("num_local_experts", 8),
+            experts_per_token=cfg.get("num_experts_per_tok", 2),
+        )
+    return LlamaConfig(**fields)
 
 
 def _detect_zero_bias(qcfg: dict) -> int:
@@ -142,18 +151,29 @@ def load_autogptq(
     fuse: bool = True,
     storage_bits=None,
 ) -> Tuple[dict, LlamaConfig]:
-    """Load an AutoGPTQ Llama checkpoint directory into (params, config).
+    """Load an AutoGPTQ Llama/Mistral/Mixtral checkpoint directory into
+    (params, config).
 
     ``tp > 1`` repacks the row-parallel projections (o_proj, down_proj)
     shard-stacked for a ``tp``-way model axis (``formats.make_row_sharded_
     qtensor``); column-parallel tensors shard at placement time, no repack.
     ``fuse`` merges q|k|v and gate|up into single fused matmuls where legal
     (skipped per-layer for act-order or dense-fallback projections).
+
+    Mixtral checkpoints return a :class:`~xbitops_tpu.models.moe.MoeConfig`
+    and layers carrying ``router`` + stacked expert QTensors; they shard
+    over the EXPERT axis (``models.moe.expert_pspecs``), so ``tp`` must be 1.
     """
     p = Path(path)
     hf_cfg = json.loads((p / "config.json").read_text())
-    if hf_cfg.get("model_type", "llama") not in ("llama", "mistral"):
+    if hf_cfg.get("model_type", "llama") not in ("llama", "mistral", "mixtral"):
         raise ValueError(f"unsupported model_type {hf_cfg.get('model_type')}")
+    is_moe = hf_cfg.get("model_type") == "mixtral"
+    if is_moe and tp > 1:
+        raise NotImplementedError(
+            "Mixtral checkpoints shard over the EXPERT axis "
+            "(models.moe.expert_pspecs), not row-parallel TP; load with tp=1"
+        )
     qcfg_path = p / "quantize_config.json"
     qcfg = json.loads(qcfg_path.read_text()) if qcfg_path.exists() else {}
     bits = qcfg.get("bits", 4)
@@ -177,34 +197,71 @@ def load_autogptq(
 
     qdim = cfg.num_heads * cfg.head_dim
     kvdim = cfg.num_kv_heads * cfg.head_dim
+
+    def moe_ffn_entries(pre: str) -> dict:
+        """Mixtral block_sparse_moe: router + per-expert w1 (gate) | w3 (up)
+        fused, w2 (down) — experts stacked into single QTensors the fused
+        matmul indexes in place (models/moe.py)."""
+        from xbitops_tpu.models.moe import stack_experts
+
+        E = cfg.n_experts
+        router = jnp.asarray(
+            tensors[f"{pre}.block_sparse_moe.gate.weight"]
+        ).T.astype(jnp.float32)
+        gus, downs = [], []
+        for e in range(E):
+            ep = f"{pre}.block_sparse_moe.experts.{e}"
+            w1 = q(f"{ep}.w1", h)
+            w3 = q(f"{ep}.w3", h)
+            gu = _try_fuse([w1, w3], (cfg.intermediate_size,) * 2, 1)
+            if gu is None:
+                raise NotImplementedError(
+                    "Mixtral experts must be quantized and non-act-order "
+                    "(the stacked expert matmul fuses w1|w3)"
+                )
+            gus.append(gu)
+            downs.append(q(f"{ep}.w2", cfg.intermediate_size))
+        return dict(
+            router=router,
+            w_experts_gateup=stack_experts(gus),
+            w_experts_down=stack_experts(downs),
+        )
+
     layers = []
     for i in range(cfg.num_layers):
         pre = f"model.layers.{i}"
         wq_ = q(f"{pre}.self_attn.q_proj", h)
         wk_ = q(f"{pre}.self_attn.k_proj", h)
         wv_ = q(f"{pre}.self_attn.v_proj", h)
-        wgate = q(f"{pre}.mlp.gate_proj", h)
-        wup = q(f"{pre}.mlp.up_proj", h)
         attn_mlp = {}
         if fuse:
             wqkv = _try_fuse([wq_, wk_, wv_], (qdim, kvdim, kvdim), tp)
-            wgu = _try_fuse([wgate, wup], (cfg.intermediate_size,) * 2, tp)
             if wqkv is not None:
                 attn_mlp["wqkv"] = wqkv
             else:
                 attn_mlp.update(wq=wq_, wk=wk_, wv=wv_)
+        else:
+            attn_mlp.update(wq=wq_, wk=wk_, wv=wv_)
+        if is_moe:
+            attn_mlp.update(moe_ffn_entries(pre))
+        else:
+            wgate = q(f"{pre}.mlp.gate_proj", h)
+            wup = q(f"{pre}.mlp.up_proj", h)
+            wgu = _try_fuse(
+                [wgate, wup], (cfg.intermediate_size,) * 2, tp
+            ) if fuse else None
             if wgu is not None:
                 attn_mlp["w_gateup"] = wgu
             else:
                 attn_mlp.update(w_gate=wgate, w_up=wup)
-        else:
-            attn_mlp.update(wq=wq_, wk=wk_, wv=wv_, w_gate=wgate, w_up=wup)
+            attn_mlp["w_down"] = q(
+                f"{pre}.mlp.down_proj", cfg.intermediate_size,
+                row_parallel=True,
+            )
         layers.append(
             dict(
                 **attn_mlp,
                 wo=q(f"{pre}.self_attn.o_proj", qdim, row_parallel=True),
-                w_down=q(f"{pre}.mlp.down_proj", cfg.intermediate_size,
-                         row_parallel=True),
                 ln_attn=jnp.asarray(tensors[f"{pre}.input_layernorm.weight"]).astype(
                     jnp.float32
                 ),
