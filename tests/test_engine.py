@@ -221,6 +221,26 @@ def test_engine_chunked_prefill_matches(params):
     assert outs[1].tokens == solo[0].tokens
 
 
+def test_engine_chunked_prefill_mixed_final_chunks(params):
+    """Two long prompts admitted in ONE wave whose FINAL chunks differ
+    (lengths 23 and 10 at chunk 8 finish at ci=2 and ci=1): each slot's
+    first token must come from its own final chunk — the lockstep chunk
+    loop only reads back chunks that are final for some prompt."""
+    long_a = list(range(3, 3 + 23))
+    long_b = [11, 4, 9, 8, 2, 6, 14, 3, 1, 7]  # length 10 > bucket 8
+    eng = Engine(params, CFG, slots=2, prefill_chunk=8, prefill_buckets=[8])
+    outs = eng.generate([
+        Request(prompt=long_a, max_new_tokens=4),
+        Request(prompt=long_b, max_new_tokens=4),
+    ])
+    for prompt, out in zip([long_a, long_b], outs):
+        solo = Engine(params, CFG, slots=2, prefill_chunk=8,
+                      prefill_buckets=[8]).generate(
+            [Request(prompt=prompt, max_new_tokens=4)]
+        )
+        assert out.tokens == solo[0].tokens
+
+
 def test_engine_kv_quant_close_to_bf16(params):
     """int8 KV cache: greedy generation stays (near-)identical to the bf16
     cache on a tiny model, and the quantized cache arrays are actually int8."""

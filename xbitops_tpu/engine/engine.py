@@ -667,9 +667,15 @@ class Engine:
                             self.params, self.cache, jnp.asarray(packed),
                             self._split_key(),
                         )
-                        toks_np = np.asarray(jax.device_get(toks_dev))
-                        for i, (b, r, prompt) in enumerate(longs):
-                            if ci == (len(prompt) - 1) // C:
+                        # only chunks FINAL for some prompt carry a token the
+                        # host needs; reading back every chunk would insert a
+                        # round-trip sync between chunk dispatches (non-final
+                        # chunks then pipeline through the link back-to-back)
+                        final = [i for i, (_, _, prompt) in enumerate(longs)
+                                 if ci == (len(prompt) - 1) // C]
+                        if final:
+                            toks_np = np.asarray(jax.device_get(toks_dev))
+                            for i in final:
                                 last_tok[i] = int(toks_np[i])
                     for i, (b, r, prompt) in enumerate(longs):
                         self._admit_slot(b, r, prompt, slot_req, slot_gen,
