@@ -13,7 +13,7 @@ import pytest
 from xbitops_tpu.kernels.decode_attention import decode_attention
 
 
-def ref_att(q, k, v, lengths):
+def ref_att(q, k, v, lengths, window=None):
     B, H, D = q.shape
     S, Hkv = k.shape[1], k.shape[2]
     rep = H // Hkv
@@ -21,6 +21,9 @@ def ref_att(q, k, v, lengths):
     vv = jnp.repeat(v, rep, axis=2).astype(jnp.float32)
     logits = jnp.einsum("bhd,bshd->bhs", q.astype(jnp.float32), kk) * (D ** -0.5)
     mask = jnp.arange(S)[None, None, :] < lengths[:, None, None]
+    if window is not None:
+        lo = jnp.maximum(lengths - window, 0)
+        mask &= jnp.arange(S)[None, None, :] >= lo[:, None, None]
     p = jax.nn.softmax(jnp.where(mask, logits, -1e30), axis=-1)
     return jnp.einsum("bhs,bshd->bhd", p, vv)
 
@@ -338,3 +341,118 @@ def test_decode_attention_fused_append_int8():
     np.testing.assert_array_equal(np.asarray(k_upd[0]), np.asarray(kw))
     np.testing.assert_array_equal(np.asarray(ks_upd[1]), np.asarray(wks[0]))
     np.testing.assert_array_equal(np.asarray(ks_upd[0]), np.asarray(ks_p))
+
+
+@pytest.mark.parametrize(
+    "B,S,H,Hkv,bs,window",
+    [
+        (2, 256, 8, 2, 64, 100),   # window crosses block boundaries
+        (3, 300, 12, 4, 128, 64),  # window < one block
+        (2, 128, 4, 4, 32, 200),   # window > some lengths (partially binds)
+        (2, 128, 4, 1, 32, 1),     # degenerate: only the newest position
+    ],
+)
+def test_decode_attention_sliding_window(B, S, H, Hkv, bs, window):
+    """Sliding window == masked-softmax oracle over [len-W, len) only."""
+    D = 128
+    key = jax.random.PRNGKey(B * 10 + window)
+    q = jax.random.normal(key, (B, H, D), jnp.bfloat16)
+    k = jax.random.normal(jax.random.fold_in(key, 1), (B, S, Hkv, D),
+                          jnp.bfloat16) * 0.3
+    v = jax.random.normal(jax.random.fold_in(key, 2), (B, S, Hkv, D),
+                          jnp.bfloat16) * 0.3
+    lengths = jnp.asarray(
+        np.random.default_rng(S + window).integers(1, S + 1, B), jnp.int32)
+    got = np.asarray(
+        decode_attention(q, hmT(k), hmT(v), lengths, block_s=bs,
+                         window=window),
+        np.float32,
+    )
+    want = np.asarray(ref_att(q, k, v, lengths, window=window))
+    np.testing.assert_allclose(got, want, rtol=5e-2, atol=2e-3)
+
+
+def test_decode_attention_sliding_window_excluded_blocks_isolated():
+    """Poisoning every position OUTSIDE the window changes nothing — the
+    excluded blocks must neither be read into the softmax nor the output."""
+    B, S, H, Hkv, D, W = 2, 256, 4, 2, 128, 80
+    key = jax.random.PRNGKey(21)
+    q = jax.random.normal(key, (B, H, D), jnp.bfloat16)
+    k = jax.random.normal(jax.random.fold_in(key, 1), (B, S, Hkv, D), jnp.bfloat16)
+    v = jax.random.normal(jax.random.fold_in(key, 2), (B, S, Hkv, D), jnp.bfloat16)
+    lengths = jnp.asarray([130, 256], jnp.int32)
+    base = np.asarray(
+        decode_attention(q, hmT(k), hmT(v), lengths, block_s=64, window=W),
+        np.float32,
+    )
+    pos = jnp.arange(S)[None, :, None, None]
+    lo = jnp.maximum(lengths - W, 0)[:, None, None, None]
+    outside = (pos < lo) | (pos >= lengths[:, None, None, None])
+    poison = jnp.where(outside, 1e4, 0).astype(k.dtype)
+    got = np.asarray(
+        decode_attention(q, hmT(k + poison), hmT(v + poison), lengths,
+                         block_s=64, window=W),
+        np.float32,
+    )
+    np.testing.assert_array_equal(got, base)
+
+
+def test_decode_attention_sliding_window_int8_and_stacked():
+    """Window composes with the packed int8 cache and stacked layers."""
+    B, S, H, Hkv, D, W = 2, 128, 8, 2, 128, 50
+    key = jax.random.PRNGKey(31)
+    q = jax.random.normal(key, (B, H, D), jnp.bfloat16)
+    kf = jax.random.normal(jax.random.fold_in(key, 1), (B, S, Hkv, D)) * 0.5
+    vf = jax.random.normal(jax.random.fold_in(key, 2), (B, S, Hkv, D)) * 0.5
+    kw, vw, ks_p, vs_p, kd, vd = pack_int8(kf, vf)
+    lengths = jnp.asarray([70, 128], jnp.int32)
+    got = np.asarray(
+        decode_attention(q, kw, vw, lengths, block_s=64,
+                         k_scale=ks_p, v_scale=vs_p, window=W),
+        np.float32,
+    )
+    want = np.asarray(ref_att(q, kd, vd, lengths, window=W))
+    np.testing.assert_allclose(got, want, rtol=5e-2, atol=5e-3)
+
+    L = 2
+    got = np.asarray(
+        decode_attention(q, jnp.stack([kw] * L), jnp.stack([vw] * L),
+                         lengths, block_s=64, layer_idx=jnp.int32(1),
+                         k_scale=jnp.stack([ks_p] * L),
+                         v_scale=jnp.stack([vs_p] * L), window=W),
+        np.float32,
+    )
+    np.testing.assert_allclose(got, want, rtol=5e-2, atol=5e-3)
+
+
+def test_decode_attention_sliding_window_fused_append():
+    """kv_new + window: the appended row (position len-1) is always inside
+    the window; result == append-then-attend with the same window."""
+    B, S, H, Hkv, D, W = 3, 128, 8, 4, 128, 40
+    key = jax.random.PRNGKey(41)
+    q = jax.random.normal(key, (B, H, D), jnp.bfloat16)
+    k = jax.random.normal(jax.random.fold_in(key, 1), (B, S, Hkv, D),
+                          jnp.bfloat16) * 0.3
+    v = jax.random.normal(jax.random.fold_in(key, 2), (B, S, Hkv, D),
+                          jnp.bfloat16) * 0.3
+    kn = jax.random.normal(jax.random.fold_in(key, 3), (B, Hkv, D),
+                           jnp.bfloat16) * 0.3
+    vn = jax.random.normal(jax.random.fold_in(key, 4), (B, Hkv, D),
+                           jnp.bfloat16) * 0.3
+    positions = jnp.asarray([0, 77, S], jnp.int32)  # last is a drop (>= S)
+    lens = jnp.minimum(positions + 1, S)
+    kT, vT = hmT(k), hmT(v)
+    b_i = jnp.arange(B)[:, None, None]
+    h_i = jnp.arange(Hkv)[None, :, None]
+    kT2 = kT.at[(b_i, h_i, positions[:, None, None])].set(
+        kn[:, :, None, :], mode="drop")
+    vT2 = vT.at[(b_i, h_i, positions[:, None, None])].set(
+        vn[:, :, None, :], mode="drop")
+    want = np.asarray(
+        decode_attention(q, kT2, vT2, lens, block_s=64, window=W), np.float32)
+    got, k_upd, v_upd = decode_attention(
+        q, kT, vT, lens, block_s=64, kv_new=(kn, vn, positions), window=W)
+    np.testing.assert_allclose(np.asarray(got, np.float32), want,
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(k_upd), np.asarray(kT2))
+    np.testing.assert_array_equal(np.asarray(v_upd), np.asarray(vT2))

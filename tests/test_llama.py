@@ -254,6 +254,12 @@ def test_hf_rope_scaling_parsed():
     assert c2.rope_scaling_type == "ntk"
     c3 = llama_config_from_hf(base)
     assert c3.rope_scaling_type is None
+    # Mistral-style sliding window: parsed when present, None when null/absent
+    c4 = llama_config_from_hf({**base, "sliding_window": 4096})
+    assert c4.sliding_window == 4096
+    assert c3.sliding_window is None
+    c5 = llama_config_from_hf({**base, "sliding_window": None})
+    assert c5.sliding_window is None
 
 
 def test_act_order_tp_matches_dense_dequant():
@@ -315,3 +321,83 @@ def test_act_order_tp_matches_dense_dequant():
     nxt = jnp.argmax(tp_logits[:, -1], -1).astype(jnp.int32)
     step_logits, _ = model_tp.tp_decode_step(params_s, CFG, mesh, nxt, tp_cache)
     assert bool(jnp.all(jnp.isfinite(step_logits.astype(jnp.float32))))
+
+
+def test_sliding_window_flash_matches_xla():
+    """Sliding-window decode through the flash kernel == the masked XLA
+    attention path, with a window that BINDS (prefill longer than W)."""
+    import dataclasses as dc
+
+    W = 16
+    cfg_f = dc.replace(CFG, max_seq_len=512, flash_decode=True,
+                       sliding_window=W)
+    cfg_x = dc.replace(cfg_f, flash_decode=False)
+    params = llama.init_params(jax.random.PRNGKey(5), cfg_f, bits=8,
+                               group_size=32)
+    B, T = 2, 24  # prompt > W: the window excludes early positions
+    tokens = jax.random.randint(jax.random.PRNGKey(6), (B, T), 0,
+                                CFG.vocab_size)
+    cache_f = llama.KVCache.init(cfg_f, B)
+    cache_x = llama.KVCache.init(cfg_x, B)
+    _, cache_f = llama.prefill(params, cfg_f, tokens, cache_f)
+    _, cache_x = llama.prefill(params, cfg_x, tokens, cache_x)
+    nxt = jnp.asarray([3, 7], jnp.int32)
+    for step in range(2):
+        lf, cache_f = llama.decode_step(params, cfg_f, nxt, cache_f)
+        lx, cache_x = llama.decode_step(params, cfg_x, nxt, cache_x)
+        np.testing.assert_allclose(
+            np.asarray(lf, np.float32), np.asarray(lx, np.float32),
+            rtol=3e-2, atol=3e-2,
+        )
+        nxt = jnp.argmax(lf, -1).astype(jnp.int32)
+
+
+def test_sliding_window_binds():
+    """A window smaller than the context must CHANGE the logits (vs full
+    attention), and a window covering the whole context must not."""
+    import dataclasses as dc
+
+    cfg_full = dc.replace(CFG, max_seq_len=64, flash_decode=False)
+    cfg_wide = dc.replace(cfg_full, sliding_window=64)
+    cfg_tight = dc.replace(cfg_full, sliding_window=4)
+    params = llama.init_params(jax.random.PRNGKey(9), cfg_full, bits=8,
+                               group_size=32)
+    B, T = 2, 20
+    tokens = jax.random.randint(jax.random.PRNGKey(10), (B, T), 0,
+                                CFG.vocab_size)
+    logits = {}
+    for name, cfg in [("full", cfg_full), ("wide", cfg_wide),
+                      ("tight", cfg_tight)]:
+        cache = llama.KVCache.init(cfg, B)
+        lp, _ = llama.prefill(params, cfg, tokens, cache)
+        logits[name] = np.asarray(lp[:, -1], np.float32)
+    np.testing.assert_allclose(logits["full"], logits["wide"],
+                               rtol=1e-5, atol=1e-5)
+    assert np.abs(logits["full"] - logits["tight"]).max() > 1e-3
+
+
+def test_sliding_window_prefill_decode_consistency():
+    """Teacher forcing with a binding window: prefill T then decode token
+    T+1 must match a longer prefill's last-position logits."""
+    import dataclasses as dc
+
+    cfg = dc.replace(CFG, max_seq_len=64, sliding_window=8)
+    params = llama.init_params(jax.random.PRNGKey(11), cfg, bits=8,
+                               group_size=32)
+    B, T = 2, 14
+    tokens = jax.random.randint(jax.random.PRNGKey(12), (B, T + 1), 0,
+                                CFG.vocab_size)
+    cache = llama.KVCache.init(cfg, B)
+    lp_all, _ = llama.prefill(params, cfg, tokens, llama.KVCache.init(cfg, B))
+    _, cache = llama.prefill(params, cfg, tokens[:, :T], cache)
+    ld, _ = llama.decode_step(params, cfg, tokens[:, T], cache)
+    np.testing.assert_allclose(
+        np.asarray(ld, np.float32), np.asarray(lp_all[:, -1], np.float32),
+        rtol=3e-2, atol=3e-2,
+    )
+
+
+def test_mistral_7b_config():
+    cfg = llama.LlamaConfig.mistral_7b()
+    assert cfg.sliding_window == 4096 and cfg.num_kv_heads == 8
+    assert cfg.intermediate_size == 14336

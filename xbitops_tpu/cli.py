@@ -157,6 +157,7 @@ def cmd_bench(args) -> int:
         "llama2-7b": llama.LlamaConfig.llama2_7b(),
         "llama2-13b": llama.LlamaConfig.llama2_13b(),
         "llama3-8b": llama.LlamaConfig.llama3_8b(),
+        "mistral-7b": llama.LlamaConfig.mistral_7b(),
     }
     cfg = cfgs[args.model]
     h, ffn = cfg.hidden_size, cfg.intermediate_size
@@ -214,7 +215,8 @@ def main(argv=None) -> int:
 
     b = sub.add_parser("bench", help="op-level fused-kernel bench (model-family shapes)")
     b.add_argument("--model", default="llama2-7b",
-                   choices=["llama2-7b", "llama2-13b", "llama3-8b"])
+                   choices=["llama2-7b", "llama2-13b", "llama3-8b",
+                            "mistral-7b"])
     b.add_argument("--bits", type=int, default=4)
     b.add_argument("--group-size", type=int, default=128)
     b.add_argument("--batch", type=int, default=4)

@@ -63,6 +63,9 @@ def llama_config_from_hf(cfg: dict, max_seq_len: Optional[int] = None) -> LlamaC
         max_seq_len=max_seq_len or min(cfg.get("max_position_embeddings", 2048), 4096),
         rope_scaling_type=rs_type,
         rope_scaling_factor=float(rs.get("factor", 1.0)),
+        # Mistral-v0.1-style sliding window (null/absent on llama and on
+        # mistral >= v0.2 checkpoints -> full attention)
+        sliding_window=cfg.get("sliding_window"),
     )
     if cfg.get("model_type") == "mixtral":
         from xbitops_tpu.models.moe import MoeConfig

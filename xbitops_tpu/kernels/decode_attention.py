@@ -77,7 +77,8 @@ def _pick_group(Hkv: int) -> int:
 # --------------------------------------------------------------------------
 
 
-def _kernel(bs, rep, Hkv, D, scale, stacked, has_scales, paged, *refs):
+def _kernel(bs, rep, Hkv, D, scale, stacked, has_scales, paged, window,
+            *refs):
     refs = list(refs)
     lens_ref = refs.pop(0)
     if paged:
@@ -93,6 +94,10 @@ def _kernel(bs, rep, Hkv, D, scale, stacked, has_scales, paged, *refs):
     b = pl.program_id(0)
     s = pl.program_id(1)
     length = lens_ref[b]
+    # sliding window (Mistral): attend positions [lo, length) only.  The
+    # index maps raise past blocks to the window's first block, so the DMAs
+    # a window excludes never fetch; the mask handles the partial first block
+    lo = jnp.maximum(length - window, 0) if window else jnp.int32(0)
 
     @pl.when(s == 0)
     def _():
@@ -100,7 +105,7 @@ def _kernel(bs, rep, Hkv, D, scale, stacked, has_scales, paged, *refs):
         l_ref[...] = jnp.zeros_like(l_ref)
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    @pl.when(s * bs < length)
+    @pl.when(jnp.logical_and(s * bs < length, (s + 1) * bs > lo))
     def _():
         q = q_ref[0].astype(jnp.float32)  # (Hkv, rep, D)
 
@@ -134,7 +139,10 @@ def _kernel(bs, rep, Hkv, D, scale, stacked, has_scales, paged, *refs):
                 vj = uj_v.astype(jnp.float32) - 128.0
                 ksj = ksb[j]  # (Hkv, bw)
                 vsj = vsb[j]
-                live = s * bs + 4 * w_iota + j < length
+                pos = s * bs + 4 * w_iota + j
+                live = pos < length
+                if window:
+                    live = jnp.logical_and(live, pos >= lo)
                 for r in range(rep):
                     qr = q[:, r, :]
                     scores = jnp.sum(kj * qr[:, None, :], axis=2) * scale * ksj
@@ -143,9 +151,10 @@ def _kernel(bs, rep, Hkv, D, scale, stacked, has_scales, paged, *refs):
         else:
             k = k_ref[...].astype(jnp.float32)  # (Hkv, bs, D)
             v = v_ref[...].astype(jnp.float32)
-            live = (
-                s * bs + jax.lax.broadcasted_iota(jnp.int32, (Hkv, bs), 1) < length
-            )
+            pos = s * bs + jax.lax.broadcasted_iota(jnp.int32, (Hkv, bs), 1)
+            live = pos < length
+            if window:
+                live = jnp.logical_and(live, pos >= lo)
             for r in range(rep):
                 qr = q[:, r, :]  # (Hkv, D)
                 scores = jnp.sum(k * qr[:, None, :], axis=2) * scale  # (Hkv, bs)
@@ -165,7 +174,7 @@ def _kernel(bs, rep, Hkv, D, scale, stacked, has_scales, paged, *refs):
 
 
 def _kernel_v2(bs, rep, Hkv, D, scale, stacked, paged, P, has_scales, SPB,
-               fused, S_cap, scales_res, *refs):
+               fused, S_cap, scales_res, window, *refs):
     refs = list(refs)
     lens_ref = refs.pop(0)
     tbl_ref = refs.pop(0) if paged else None
@@ -293,6 +302,21 @@ def _kernel_v2(bs, rep, Hkv, D, scale, stacked, paged, P, has_scales, SPB,
             le = le - valid(s).astype(jnp.int32)
         return le
 
+    def lo_of(s):
+        """Sliding window: first attended position, max(0, length - W).  The
+        pipeline starts at its block (see ``blk_of``); the first block's
+        sub-window rows mask out in the bodies."""
+        if not window:
+            return jnp.int32(0)
+        return jnp.maximum(lens_ref[b0 + s] - window, 0)
+
+    def lo_blk(s):
+        return lo_of(s) // bs if window else jnp.int32(0)
+
+    def n_live_blocks(s):
+        """Pipeline steps that carry compute for slot s (may be 0)."""
+        return (eff_len(s) + bs - 1) // bs - lo_blk(s)
+
     def new_scale_row(s, ref):
         """Row b0+s of a (B, Hkv) new-scale array via one-hot reduce (a
         (1, Hkv) block violates Mosaic's sublane rule; dynamic sublane
@@ -326,8 +350,7 @@ def _kernel_v2(bs, rep, Hkv, D, scale, stacked, paged, P, has_scales, SPB,
 
     nmax = jnp.int32(1)
     for s in range(SPB):
-        nl = (eff_len(s) + bs - 1) // bs
-        nmax = jnp.maximum(nmax, nl)
+        nmax = jnp.maximum(nmax, n_live_blocks(s))
     # own-head lane segments of a (G, G*rows) cross-product block
     seg = jax.lax.broadcasted_iota(jnp.int32, (G, G * rows), 1) // rows
     row_i = jax.lax.broadcasted_iota(jnp.int32, (G, G * rows), 0)
@@ -415,12 +438,14 @@ def _kernel_v2(bs, rep, Hkv, D, scale, stacked, paged, P, has_scales, SPB,
         def _():
             start_slot()
 
-        @pl.when(i * bs < length)
+        @pl.when(i < n_live_blocks(s))
         def _():
             qf = q_ref[s]  # (Hkv, rep, D) bf16: MXU eats it directly
-            live = (
-                i * bs + jax.lax.broadcasted_iota(jnp.int32, (G, bs), 1) < length
-            )
+            base = (lo_blk(s) + i) * bs
+            pos = base + jax.lax.broadcasted_iota(jnp.int32, (G, bs), 1)
+            live = pos < length
+            if window:
+                live = jnp.logical_and(live, pos >= lo_of(s))
             for g in range(n_grp):
                 sl = slice(g * G, (g + 1) * G)
                 k2 = k_blk[sl].reshape(G * bs, D)  # contiguous leading merge
@@ -463,7 +488,7 @@ def _kernel_v2(bs, rep, Hkv, D, scale, stacked, paged, P, has_scales, SPB,
         def _():
             start_slot()
 
-        @pl.when(i * bs < length)
+        @pl.when(i < n_live_blocks(s))
         def _():
             if scales_res:
                 # scale arrays ride as VMEM-resident (SPB, 4, Hkv, S/4)
@@ -476,10 +501,13 @@ def _kernel_v2(bs, rep, Hkv, D, scale, stacked, paged, P, has_scales, SPB,
                 vsb = vs_blk[...].astype(jnp.float32)
             qf = q_ref[s].astype(jnp.float32)  # (Hkv, rep, D)
             qsum128 = 128.0 * jnp.sum(qf, axis=2, keepdims=True)  # (Hkv, rep, 1)
-            # j-concatenated (G, 4*bw) score lanes: l = j*bw+w -> pos i*bs+4w+j
+            # j-concatenated (G, 4*bw) score lanes: l = j*bw+w -> pos base+4w+j
+            base = (lo_blk(s) + i) * bs
             l_iota = jax.lax.broadcasted_iota(jnp.int32, (G, 4 * bw), 1)
-            pos = i * bs + 4 * (l_iota % bw) + l_iota // bw
+            pos = base + 4 * (l_iota % bw) + l_iota // bw
             live = pos < length
+            if window:
+                live = jnp.logical_and(live, pos >= lo_of(s))
             for g in range(n_grp):
                 sl = slice(g * G, (g + 1) * G)
                 kg = k_blk[sl]  # (G, bw, D) int32 words
@@ -518,11 +546,12 @@ def _kernel_v2(bs, rep, Hkv, D, scale, stacked, paged, P, has_scales, SPB,
         maybe_fold_then_finalize(s, i)
 
     def blk_of(s, i):
-        """Block index for slot s at pipeline step i, clamped to the slot's
-        last live block: past-live steps re-address the resident block (no
-        HBM traffic) and the body skips their compute."""
+        """Block index for slot s at pipeline step i: the window's first
+        block plus i, clamped to the slot's last live block — past-live
+        steps re-address the resident block (no HBM traffic) and the body
+        skips their compute; blocks a sliding window excludes never fetch."""
         nl = jnp.maximum((eff_len(s) + bs - 1) // bs, 1)
-        return jnp.minimum(i, nl - 1)
+        return jnp.minimum(lo_blk(s) + i, nl - 1)
 
     def si(pid):
         return pid // nmax, pid % nmax
@@ -698,7 +727,7 @@ def _kernel_v2(bs, rep, Hkv, D, scale, stacked, paged, P, has_scales, SPB,
 
 def _decode_attention_v2(q4, k, v, lengths, bs, rep, Hkv, D,
                          layer_idx, page_table, k_scale=None, v_scale=None,
-                         kv_new=None):
+                         kv_new=None, window=None):
     """pallas_call wrapper for :func:`_kernel_v2` (real TPU only).
 
     ``kv_new``: write the new rows into the (aliased) cache inside the SAME
@@ -832,7 +861,7 @@ def _decode_attention_v2(q4, k, v, lengths, bs, rep, Hkv, D,
     out = pl.pallas_call(
         functools.partial(
             _kernel_v2, bs, rep, Hkv, D, D ** -0.5, stacked, paged, P,
-            has_scales, SPB, fused, S_cap, scales_res,
+            has_scales, SPB, fused, S_cap, scales_res, window,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=n_prefetch,
@@ -892,7 +921,7 @@ def _append_packed_fallback(k, v, ks, vs, kv_new, layer_idx, interpret):
     )
 
 
-@functools.partial(jax.jit, static_argnames=("block_s", "interpret"))
+@functools.partial(jax.jit, static_argnames=("block_s", "interpret", "window"))
 def decode_attention(
     q: jax.Array,  # [B, H, D]
     k: jax.Array,  # [B, Hkv, S, D]  (or [L, B, Hkv, S, D] with layer_idx)
@@ -905,9 +934,17 @@ def decode_attention(
     v_scale: Optional[jax.Array] = None,
     page_table: Optional[jax.Array] = None,  # int32 [B, P]: paged pool cache
     kv_new=None,  # (k_new [B,Hkv,D], v_new, positions [B]): fused append
+    window: Optional[int] = None,  # sliding window: attend [len-W, len) only
 ) -> jax.Array:
     """Softmax(q k^T / sqrt(D)) v over each slot's first ``lengths[b]`` cache
     positions; returns [B, H, D].  HBM reads scale with ``lengths``, not S.
+
+    ``window`` (sliding-window attention, Mistral semantics): attend only
+    positions ``[max(0, lengths[b] - window), lengths[b])``.  Both kernels
+    start each slot's block iteration at the window's first block — HBM
+    reads then scale with ``min(lengths, window)`` — and mask the first
+    block's sub-window rows; a fused-append new row (position lengths-1) is
+    always inside the window.
 
     ``kv_new``: write the new rows at ``positions`` into the cache in the
     SAME kernel (aliased in place) before attending, replacing a separate
@@ -957,6 +994,12 @@ def decode_attention(
         bs = min(block_s or (512 if has_scales else 128), S)
         n_blocks = common.cdiv(S, bs)
     assert H % Hkv == 0
+    if window is not None:
+        assert window >= 1, "sliding window must be >= 1"
+        if window >= S:
+            # a window covering the whole allocation never binds: drop it
+            # (identical program to the no-window path)
+            window = None
     rep = H // Hkv
     # query head h*rep+r shares kv head h (jnp.repeat convention)
     q4 = q.reshape(B, Hkv, rep, D)
@@ -982,7 +1025,7 @@ def decode_attention(
     if v2_ok and kv_new is not None:
         outs = _decode_attention_v2(
             q4, k, v, lengths, bs, rep, Hkv, D, layer_idx, page_table,
-            k_scale=k_scale, v_scale=v_scale, kv_new=kv_new,
+            k_scale=k_scale, v_scale=v_scale, kv_new=kv_new, window=window,
         )
         return (outs[0].reshape(B, H, D),) + tuple(outs[1:])
     if kv_new is not None:
@@ -995,27 +1038,35 @@ def decode_attention(
             out = decode_attention(
                 q, k, v, lengths,
                 block_s=block_s, interpret=interpret, layer_idx=layer_idx,
-                k_scale=k_scale, v_scale=v_scale,
+                k_scale=k_scale, v_scale=v_scale, window=window,
             )
             return out, k, v, k_scale, v_scale
         k, v = _append_dense_fallback(k, v, kv_new, layer_idx, interpret)
         out = decode_attention(
             q, k, v, lengths,
             block_s=block_s, interpret=interpret, layer_idx=layer_idx,
+            window=window,
         )
         return out, k, v
     if v2_ok:
         out = _decode_attention_v2(
             q4, k, v, lengths, bs, rep, Hkv, D, layer_idx, page_table,
-            k_scale=k_scale, v_scale=v_scale,
+            k_scale=k_scale, v_scale=v_scale, window=window,
         )
         return out.reshape(B, H, D)
 
     def clamp(s, lens, b):
         # clamp past-length blocks to the last live block: same index ->
-        # Mosaic reuses the already-resident block, no HBM traffic
+        # Mosaic reuses the already-resident block, no HBM traffic.  A
+        # sliding window additionally RAISES early steps to its first block
+        # (consecutive steps then share the index — one fetch), so windowed
+        # reads never touch excluded blocks.
         last = jnp.maximum(lens[b] - 1, 0) // bs
-        return jnp.minimum(s, last)
+        s_eff = s
+        if window:
+            lo_b = jnp.maximum(lens[b] - window, 0) // bs
+            s_eff = jnp.maximum(s, lo_b)
+        return jnp.minimum(s_eff, last)
 
     args = [lengths.astype(jnp.int32)]
     n_prefetch = 1
@@ -1071,7 +1122,8 @@ def decode_attention(
 
     out = pl.pallas_call(
         functools.partial(
-            _kernel, bs, rep, Hkv, D, D ** -0.5, stacked, has_scales, paged
+            _kernel, bs, rep, Hkv, D, D ** -0.5, stacked, has_scales, paged,
+            window,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=n_prefetch,

@@ -55,10 +55,28 @@ class LlamaConfig:
     # factor^(d/(d-2)) (NTK-aware interpolation).  None = stock RoPE.
     rope_scaling_type: Optional[str] = None  # None | "linear" | "ntk"
     rope_scaling_factor: float = 1.0
+    # Sliding-window attention (Mistral): each query attends only the last
+    # `sliding_window` positions.  Masks bound every XLA attention path and
+    # the flash-decode kernel starts its read pipeline at the window's first
+    # block — decode HBM reads scale with min(live, window), not live.  The
+    # cache still allocates max_seq_len rows (positions stay absolute; a
+    # rolling buffer would break the engine's position/padding invariants);
+    # use the int8 or paged cache to bound capacity.
+    sliding_window: Optional[int] = None
 
     @staticmethod
     def llama2_7b() -> "LlamaConfig":
         return LlamaConfig()
+
+    @staticmethod
+    def mistral_7b() -> "LlamaConfig":
+        """Mistral-7B-v0.1: GQA (8 kv heads), 14336 ffn, 4096-token sliding
+        window (HF config.json sliding_window; window semantics per the
+        Mistral reference: query at position p attends (p-W, p])."""
+        return LlamaConfig(
+            intermediate_size=14336, num_kv_heads=8, max_seq_len=8192,
+            sliding_window=4096,
+        )
 
     @staticmethod
     def llama2_13b() -> "LlamaConfig":
@@ -804,15 +822,16 @@ def _block(
         from xbitops_tpu.kernels.decode_attention import decode_attention
 
         lens_eff = jnp.minimum(positions[:, 0] + 1, S_cap)
+        win = cfg.sliding_window
         if fuse_append:
             att, k_all, v_all = decode_attention(
-                q[:, 0], k_all, v_all, lens_eff, layer_idx=li,
+                q[:, 0], k_all, v_all, lens_eff, layer_idx=li, window=win,
                 kv_new=(k[:, 0], v[:, 0], positions[:, 0]),
             )
             att = att[:, None]
         elif fuse_append_q:
             att, k_all, v_all, ks_all, vs_all = decode_attention(
-                q[:, 0], k_all, v_all, lens_eff, layer_idx=li,
+                q[:, 0], k_all, v_all, lens_eff, layer_idx=li, window=win,
                 k_scale=ks_all, v_scale=vs_all,
                 kv_new=(kq[:, 0], vq[:, 0], ks[:, 0], vs[:, 0],
                         positions[:, 0]),
@@ -820,7 +839,7 @@ def _block(
             att = att[:, None]
         else:
             att = decode_attention(
-                q[:, 0], k_all, v_all, lens_eff, layer_idx=li,
+                q[:, 0], k_all, v_all, lens_eff, layer_idx=li, window=win,
                 k_scale=ks_all, v_scale=vs_all, page_table=page_table,
             )[:, None]
     else:
@@ -878,10 +897,18 @@ def forward(
         mask = (positions[:, None, :] <= positions[:, :, None]) & (
             positions[:, None, :] < S
         )
+        if cfg.sliding_window is not None:
+            # sliding window: query p attends keys in (p - W, p]
+            mask &= (
+                positions[:, :, None] - positions[:, None, :]
+                < cfg.sliding_window
+            )
     else:
         # mask[b, q, s]: cache position s visible to query q (s <= positions[b, q])
         s_idx = jnp.arange(S)[None, None, :]
         mask = s_idx <= positions[:, :, None]
+        if cfg.sliding_window is not None:
+            mask &= positions[:, :, None] - s_idx < cfg.sliding_window
 
     layers = params["layers"]
     kv = (cache.k, cache.v, cache.k_scale, cache.v_scale)

@@ -26,7 +26,7 @@ def _log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
-def _ref_att(q, k, v, lengths):
+def _ref_att(q, k, v, lengths, window=None):
     B, H, D = q.shape
     S, Hkv = k.shape[1], k.shape[2]
     rep = H // Hkv
@@ -34,6 +34,9 @@ def _ref_att(q, k, v, lengths):
     vv = jnp.repeat(v, rep, axis=2).astype(jnp.float32)
     logits = jnp.einsum("bhd,bshd->bhs", q.astype(jnp.float32), kk) * (D ** -0.5)
     mask = jnp.arange(S)[None, None, :] < lengths[:, None, None]
+    if window is not None:
+        lo = jnp.maximum(lengths - window, 0)
+        mask &= jnp.arange(S)[None, None, :] >= lo[:, None, None]
     p = jax.nn.softmax(jnp.where(mask, logits, -1e30), axis=-1)
     return jnp.einsum("bhs,bshd->bhd", p, vv)
 
@@ -296,6 +299,44 @@ def check_decode_attention() -> None:
     np.testing.assert_allclose(
         got, want_q, rtol=5e-2, atol=2e-2, err_msg="paged+int8"
     )
+
+    # SLIDING WINDOW (Mistral): the pipeline starts at each slot's window
+    # block and masks the first block's sub-window rows.  Dense + stacked +
+    # int8 + fused-append (the new row is always inside the window).
+    W = 160  # crosses block boundaries at block_s=256 and the int8 bs=512
+    want_w = np.asarray(_ref_att(q, k, v, lengths, window=W))
+    got = np.asarray(
+        decode_attention(q, kT, vT, lengths, block_s=256, window=W),
+        np.float32,
+    )
+    np.testing.assert_allclose(got, want_w, rtol=5e-2, atol=5e-3,
+                               err_msg="window dense")
+    got = np.asarray(
+        decode_attention(q, jnp.stack([kT] * L), jnp.stack([vT] * L),
+                         lengths, block_s=256, layer_idx=jnp.int32(1),
+                         window=W),
+        np.float32,
+    )
+    np.testing.assert_allclose(got, want_w, rtol=5e-2, atol=5e-3,
+                               err_msg="window stacked")
+    got = np.asarray(
+        decode_attention(q, kw, vw, lengths, k_scale=ks_p, v_scale=vs_p,
+                         window=W),
+        np.float32,
+    )
+    want_wq = np.asarray(_ref_att(q, kd, vd, lengths, window=W))
+    np.testing.assert_allclose(got, want_wq, rtol=5e-2, atol=2e-2,
+                               err_msg="window int8")
+    want_wf = np.asarray(_ref_att(
+        q, jnp.swapaxes(kT2, 1, 2), jnp.swapaxes(vT2, 1, 2), lens2,
+        window=W))
+    got, k_upd, v_upd = decode_attention(
+        q, kT, vT, lens2, block_s=256, kv_new=(kn, vn, positions), window=W)
+    np.testing.assert_allclose(np.asarray(got, np.float32), want_wf,
+                               rtol=5e-2, atol=5e-3,
+                               err_msg="window fused append")
+    np.testing.assert_array_equal(
+        np.asarray(k_upd), np.asarray(kT2), err_msg="window fused k write")
 
 
 def check_kv_append() -> None:
