@@ -458,3 +458,31 @@ def test_engine_greedy_program_matches_full(params):
     ])
     a, b = mixed(3), mixed(3)
     assert [c.tokens for c in a] == [c.tokens for c in b]
+
+
+def test_engine_sliding_window_matches_naive(params):
+    """A sliding-window model through the engine (ragged slots, bucket
+    prefill, burst decode) == a batch-1 naive loop with the same window;
+    the window BINDS (prompt + generation > W)."""
+    import dataclasses as dc
+
+    cfg_w = dc.replace(CFG, sliding_window=8)
+    prompt = [100, 3, 44, 7, 1, 13, 9, 2, 55, 4]
+    n_new = 8
+
+    cache = llama.KVCache.init(cfg_w, 1)
+    tokens = jnp.asarray([prompt], jnp.int32)
+    logits, cache = llama.prefill(params, cfg_w, tokens, cache)
+    want = [int(jnp.argmax(logits[0, -1]))]
+    for _ in range(n_new - 1):
+        logits, cache = llama.decode_step(
+            params, cfg_w, jnp.asarray([want[-1]], jnp.int32), cache
+        )
+        want.append(int(jnp.argmax(logits[0])))
+
+    eng = Engine(params, cfg_w, slots=2, prefill_buckets=[4, 16])
+    outs = eng.generate([
+        Request(prompt=prompt, max_new_tokens=n_new),
+        Request(prompt=[5, 9, 2], max_new_tokens=4),
+    ])
+    assert outs[0].tokens == want
