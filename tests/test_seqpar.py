@@ -150,3 +150,58 @@ def test_sp_prefill_rejects_bad_shapes(seq_mesh):
         seqpar.sp_prefill(
             params, CFG, seq_mesh, jnp.zeros((2, 32), jnp.int32), qcache
         )
+
+
+def test_ring_attention_sliding_window(seq_mesh):
+    """Windowed ring attention == the dense windowed oracle — the window
+    mask rides global positions, so it is shard-placement-oblivious."""
+    B, T, Hkv, D, W = 2, 64, 2, 64, 20
+    H = Hkv * 2
+    key = jax.random.PRNGKey(17)
+    q = jax.random.normal(key, (B, T, H, D), jnp.bfloat16)
+    k = jax.random.normal(jax.random.fold_in(key, 1), (B, T, Hkv, D),
+                          jnp.bfloat16) * 0.3
+    v = jax.random.normal(jax.random.fold_in(key, 2), (B, T, Hkv, D),
+                          jnp.bfloat16) * 0.3
+    pos = jnp.broadcast_to(jnp.arange(T)[None], (B, T))
+    got = seqpar.ring_attention(q, k, v, pos, pos, seq_mesh, axis="seq",
+                                window=W)
+    qf, kf, vf = (x.astype(jnp.float32) for x in (q, k, v))
+    kf = jnp.repeat(kf, 2, axis=2)
+    vf = jnp.repeat(vf, 2, axis=2)
+    s = jnp.einsum("bqhd,bkhd->bqhk", qf, kf) * (D ** -0.5)
+    mask = (pos[:, None, :] <= pos[:, :, None]) & (
+        pos[:, :, None] - pos[:, None, :] < W
+    )
+    p = jax.nn.softmax(jnp.where(mask[:, :, None, :], s, -1e30), axis=-1)
+    want = jnp.einsum("bqhk,bkhd->bqhd", p, vf)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want), rtol=5e-2, atol=5e-3
+    )
+
+
+def test_sp_prefill_sliding_window(seq_mesh):
+    """sp_prefill on a sliding-window config == single-chip windowed prefill
+    (same logits, same cache)."""
+    import dataclasses as dc
+
+    cfg = dc.replace(llama.LlamaConfig.tiny(), sliding_window=8)
+    params = llama.init_params(jax.random.PRNGKey(4), cfg, bits=8,
+                               group_size=32)
+    B, T = 2, 32
+    tokens = jax.random.randint(jax.random.PRNGKey(5), (B, T), 0,
+                                cfg.vocab_size)
+    logits_sp, cache_sp = seqpar.sp_prefill(
+        params, cfg, seq_mesh, tokens, llama.KVCache.init(cfg, B))
+    logits, cache_ref = llama.prefill(
+        params, cfg, tokens, llama.KVCache.init(cfg, B))
+    np.testing.assert_allclose(
+        np.asarray(logits_sp, np.float32),
+        np.asarray(logits[:, -1], np.float32), rtol=5e-2, atol=5e-2)
+    assert (
+        np.asarray(jnp.argmax(logits_sp, -1))
+        == np.asarray(jnp.argmax(logits[:, -1], -1))
+    ).all()
+    np.testing.assert_allclose(
+        np.asarray(cache_sp.k, np.float32)[:, :B],
+        np.asarray(cache_ref.k, np.float32)[:, :B], rtol=5e-2, atol=3e-2)

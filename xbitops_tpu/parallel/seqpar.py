@@ -49,9 +49,12 @@ NEG_INF = -1e30
 __all__ = ["ring_attention", "sp_prefill"]
 
 
-def _ring_attention_local(q, k, v, q_pos, kv_pos, axis, scale):
+def _ring_attention_local(q, k, v, q_pos, kv_pos, axis, scale,
+                          window=None):
     """Inside shard_map: q [B, Tq, H, D] local queries, k/v [B, Tc, Hkv, D]
-    the local kv chunk, positions global int32.  Returns [B, Tq, H, D]."""
+    the local kv chunk, positions global int32.  Returns [B, Tq, H, D].
+    ``window``: sliding-window attention — query p attends (p-W, p] only
+    (global positions make the mask shard-oblivious)."""
     n = jax.lax.axis_size(axis)
     B, Tq, H, D = q.shape
     Hkv = k.shape[2]
@@ -69,8 +72,10 @@ def _ring_attention_local(q, k, v, q_pos, kv_pos, axis, scale):
             kk = jnp.repeat(kk, rep, axis=2)
             vv = jnp.repeat(vv, rep, axis=2)
         s = jnp.einsum("bqhd,bkhd->bqhk", qf, kk) * scale
-        mask = (pc[:, None, :] <= q_pos[:, :, None])[:, :, None, :]
-        s = jnp.where(mask, s, NEG_INF)
+        vis = pc[:, None, :] <= q_pos[:, :, None]
+        if window is not None:
+            vis &= q_pos[:, :, None] - pc[:, None, :] < window
+        s = jnp.where(vis[:, :, None, :], s, NEG_INF)
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
         alpha = jnp.exp(m - m_new)
         p = jnp.exp(s - m_new)
@@ -92,16 +97,19 @@ def ring_attention(
     kv_pos: jax.Array,
     mesh: Mesh,
     axis: str = "seq",
+    window=None,
 ) -> jax.Array:
     """Causal attention with the sequence axis sharded over ``axis``: each
-    query attends every kv whose global position <= its own.  Equivalent to
-    dense causal attention over the gathered sequence (tests assert parity
-    against :func:`~xbitops_tpu.models.llama._attention`)."""
+    query attends every kv whose global position <= its own (within
+    ``window`` positions when set).  Equivalent to dense causal attention
+    over the gathered sequence (tests assert parity against
+    :func:`~xbitops_tpu.models.llama._attention`)."""
     D = q.shape[-1]
     spec4 = P(None, axis, None, None)
     spec2 = P(None, axis)
     f = shard_map(
-        partial(_ring_attention_local, axis=axis, scale=D ** -0.5),
+        partial(_ring_attention_local, axis=axis, scale=D ** -0.5,
+                window=window),
         mesh=mesh,
         in_specs=(spec4, spec4, spec4, spec2, spec2),
         out_specs=spec4,
@@ -132,7 +140,7 @@ def _sp_block(layer, cfg, rt, x, positions, seq_axis):
     k = llama._rope(k, positions, cfg.rope_theta, cfg.rope_scaling_type,
                     cfg.rope_scaling_factor)
     att = _ring_attention_local(q, k, v, positions, positions, seq_axis,
-                                D ** -0.5)
+                                D ** -0.5, window=cfg.sliding_window)
     x = x + rt.row(att.reshape(B, Tl, H * D), layer["wo"])
     hx = llama.rms_norm(x, layer["ln_mlp"], cfg.rms_eps)
     if "w_gateup" in layer:
