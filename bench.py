@@ -57,12 +57,20 @@ def make_decode_runner(cfg):
 
 
 def time_decode_step(params, cfg, label: str, repeats: int = 3, batch=None,
-                     kv_quant: bool = False) -> float:
-    """Seconds per decode step, dispatch overhead differenced out."""
+                     kv_quant: bool = False, live: int = 0) -> float:
+    """Seconds per decode step, dispatch overhead differenced out.
+
+    ``live``: pre-set every slot's cache length (long-context decode —
+    attention reads scale with it); capacity bounds the chained step count."""
     nb = batch or B
-    state = {"cache": llama.KVCache.init(cfg, nb, quantized=kv_quant)}
+    cache = llama.KVCache.init(cfg, nb, quantized=kv_quant)
+    if live:
+        cache = dataclasses.replace(
+            cache, lengths=jnp.full((nb,), live, jnp.int32))
+    state = {"cache": cache}
     tokens = jnp.zeros((nb,), jnp.int32)
     run = make_decode_runner(cfg)
+    n_cap = 4096 if not live else max((cfg.max_seq_len - live) // 3 - 2, 4)
 
     def timed(n, reps):
         best = float("inf")
@@ -77,8 +85,8 @@ def time_decode_step(params, cfg, label: str, repeats: int = 3, batch=None,
     log(f"[{label}] compile+warm {time.perf_counter() - t0:.1f}s")
     n = 4
     t = timed(n, 1)
-    while t < 0.5 and n < 4096:
-        n *= 2
+    while t < 0.5 and n < n_cap:
+        n = min(2 * n, n_cap)
         t = timed(n, 1)
     t1 = min(t, timed(n, repeats - 1))
     t3 = timed(3 * n, repeats)
@@ -136,6 +144,19 @@ def main() -> None:
     except Exception as e:
         log(f"peak-batch measurement failed: {type(e).__name__}")
         peak_tps = None
+
+    # long-context decode (the framework's headline strength): int8 KV at
+    # S=2048 with 1000 live positions per slot, B=8 — flash-kernel reads
+    # scale with live lengths, the int8 cache halves their bytes
+    log("measuring long-context int8-KV decode (S=2048, live=1000)...")
+    try:
+        cfg_lc = dataclasses.replace(cfg, max_seq_len=2048)
+        lc_sec = time_decode_step(qparams2, cfg_lc, "4bit-int8kv-S2048",
+                                  kv_quant=True, live=1000)
+        lc_ms = lc_sec * 1e3
+    except Exception as e:
+        log(f"long-context measurement failed: {type(e).__name__}")
+        lc_ms = None
     del qparams2
 
     speedup = d_sec / q_sec
@@ -149,6 +170,10 @@ def main() -> None:
         "decode_batch": B,
         "hbm_gbps": round(hbm_gbps, 1),
         "peak_tokens_per_s_b32": None if peak_tps is None else round(peak_tps, 1),
+        "long_ctx_int8_ms_per_step_s2048_live1000": (
+            None if lc_ms is None else round(lc_ms, 2)),
+        "long_ctx_tokens_per_s": (
+            None if lc_ms is None else round(B / lc_ms * 1e3, 1)),
     }
     print(json.dumps(result), flush=True)
 
