@@ -401,3 +401,56 @@ def test_mistral_7b_config():
     cfg = llama.LlamaConfig.mistral_7b()
     assert cfg.sliding_window == 4096 and cfg.num_kv_heads == 8
     assert cfg.intermediate_size == 14336
+
+
+def test_flash_prefill_matches_xla():
+    """T % 128 == 0 prefill routes through the flash prefill kernel; its
+    logits must match the masked-XLA ctx() path (bf16 and int8 caches,
+    full prefill AND chunked prefill, with and without a sliding window)."""
+    import dataclasses as dc
+
+    for kv_quant in (False, True):
+        for win in (None, 40):
+            cfg_f = dc.replace(CFG, max_seq_len=256, flash_decode=True,
+                               sliding_window=win)
+            cfg_x = dc.replace(cfg_f, flash_decode=False)
+            params = llama.init_params(jax.random.PRNGKey(21), cfg_f, bits=8,
+                                       group_size=32)
+            B, T = 2, 128
+            tokens = jax.random.randint(jax.random.PRNGKey(22), (B, T), 0,
+                                        CFG.vocab_size)
+            lf, cf = llama.prefill(
+                params, cfg_f, tokens,
+                llama.KVCache.init(cfg_f, B, quantized=kv_quant))
+            lx, cx = llama.prefill(
+                params, cfg_x, tokens,
+                llama.KVCache.init(cfg_x, B, quantized=kv_quant))
+            np.testing.assert_allclose(
+                np.asarray(lf[:, -1], np.float32),
+                np.asarray(lx[:, -1], np.float32), rtol=4e-2, atol=4e-2,
+                err_msg=f"kv_quant={kv_quant} win={win}")
+
+
+def test_flash_prefill_chunked_engine_matches():
+    """Engine generation with a kernel-eligible chunk size (128) matches
+    the same engine with the XLA prefill path, over a ragged 2-slot wave
+    of long prompts (bf16 + int8 caches)."""
+    import dataclasses as dc
+
+    from xbitops_tpu.engine import Engine, Request
+
+    prompts = [list(range(3, 203)), [11, 4, 9, 8, 2, 6, 14] * 20]
+    for kv_quant in (False, True):
+        cfg_f = dc.replace(CFG, max_seq_len=256, flash_decode=True)
+        cfg_x = dc.replace(cfg_f, flash_decode=False)
+        params = llama.init_params(jax.random.PRNGKey(23), cfg_f, bits=8,
+                                   group_size=32)
+        outs = {}
+        for name, cfg in (("flash", cfg_f), ("xla", cfg_x)):
+            eng = Engine(params, cfg, slots=2, prefill_chunk=128,
+                         prefill_buckets=[8], kv_quant=kv_quant)
+            outs[name] = [
+                o.tokens for o in eng.generate(
+                    [Request(prompt=p, max_new_tokens=6) for p in prompts])
+            ]
+        assert outs["flash"] == outs["xla"], f"kv_quant={kv_quant}"

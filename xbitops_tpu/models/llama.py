@@ -802,9 +802,27 @@ def _block(
         S_cap = page_table.shape[1] * k_all.shape[3] * pack
     else:
         S_cap = k_all.shape[3] * pack
+    # T > 1 against the cache (chunked prefill / full prefill): the flash
+    # prefill kernel streams only each q-tile's visible blocks.  The XLA
+    # ctx() fallback reads the slots' FULL allocation and — packed int8 —
+    # dequantizes ALL of it to f32 first (measured 798 ms/chunk-dispatch at
+    # 7B S=1024, allocation-bound; docs/PERF_NOTES.md round 5).
+    bs_pf = min(512 if ks_all is not None else 128, S_cap)
+    flash_prefill = (
+        T > 1 and not self_attend and not kv_unaligned
+        and page_table is None and cfg.flash_decode
+        and D % 128 == 0 and T % 128 == 0 and S_cap % bs_pf == 0
+    )
     if self_attend:
         att = _attention(
             q, jnp.swapaxes(k, 1, 2), jnp.swapaxes(v, 1, 2), mask, D ** -0.5
+        )
+    elif flash_prefill:
+        from xbitops_tpu.kernels.prefill_attention import prefill_attention
+
+        att = prefill_attention(
+            q, k_all, v_all, positions, b_rows, layer_idx=li,
+            k_scale=ks_all, v_scale=vs_all, window=cfg.sliding_window,
         )
     elif slot_ids is not None:
         # x's batch rows map to a subset of cache slots: attend those slots

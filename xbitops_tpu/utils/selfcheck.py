@@ -397,10 +397,81 @@ def check_kv_append() -> None:
     np.testing.assert_array_equal(np.asarray(gv), wvd)
 
 
+def check_prefill_attention() -> None:
+    """Flash prefill kernel (v2 emit_pipeline — no interpret support, so CPU
+    CI covers only the v1 grid variant): dense + int8 + stacked + window +
+    mixed live/pad rows vs the masked-softmax oracle."""
+    from xbitops_tpu.kernels.prefill_attention import prefill_attention
+    from xbitops_tpu.models.llama import (
+        _pack_kv_scales, _pack_kv_words, _quant_kv,
+    )
+
+    N, T, H, Hkv, D, S, B = 3, 256, 8, 4, 128, 1024, 4
+    key = jax.random.PRNGKey(3)
+    q = jax.random.normal(key, (N, T, H, D), jnp.bfloat16)
+    k = jax.random.normal(jax.random.fold_in(key, 1), (B, S, Hkv, D),
+                          jnp.bfloat16) * 0.3
+    v = jax.random.normal(jax.random.fold_in(key, 2), (B, S, Hkv, D),
+                          jnp.bfloat16) * 0.3
+    kT, vT = jnp.swapaxes(k, 1, 2), jnp.swapaxes(v, 1, 2)
+    pos = np.zeros((N, T), np.int32)
+    pos[0] = 700 + np.arange(T)      # mid-prompt chunk
+    pos[1] = np.where(np.arange(T) < 50, np.arange(T), S)  # ragged + pads
+    pos[2] = S                        # inert row
+    pos = jnp.asarray(pos)
+    slots = jnp.asarray([2, 0, B], jnp.int32)  # last = inert slot
+    live = np.asarray(pos) < S
+
+    def ref(qq, kk, vv, window=None):
+        rep = qq.shape[2] // kk.shape[2]
+        kr = jnp.repeat(kk, rep, axis=2).astype(jnp.float32)
+        vr = jnp.repeat(vv, rep, axis=2).astype(jnp.float32)
+        safe = jnp.clip(slots, 0, B - 1)
+        lo = jnp.einsum("nthd,nshd->nths", qq.astype(jnp.float32),
+                        kr[safe]) * (D ** -0.5)
+        m = jnp.arange(S)[None, None, :] <= pos[:, :, None]
+        if window is not None:
+            m &= pos[:, :, None] - jnp.arange(S)[None, None, :] < window
+        p = jax.nn.softmax(jnp.where(m[:, :, None, :], lo, -1e30), axis=-1)
+        return jnp.einsum("nths,nshd->nthd", p, vr[safe])
+
+    for W in (None, 300):
+        got = np.asarray(prefill_attention(q, kT, vT, pos, slots, window=W),
+                         np.float32)
+        want = np.asarray(ref(q, k, v, window=W))
+        np.testing.assert_allclose(
+            got[live], want[live], rtol=5e-2, atol=5e-3,
+            err_msg=f"prefill dense W={W}")
+
+    got = np.asarray(prefill_attention(
+        q, jnp.stack([kT] * 2), jnp.stack([vT] * 2), pos, slots,
+        layer_idx=jnp.int32(1)), np.float32)
+    want = np.asarray(ref(q, k, v))
+    np.testing.assert_allclose(got[live], want[live], rtol=5e-2, atol=5e-3,
+                               err_msg="prefill stacked")
+
+    kq, kscl = _quant_kv(k.astype(jnp.float32))
+    vq, vscl = _quant_kv(v.astype(jnp.float32))
+    kw, vw = _pack_kv_words(kq), _pack_kv_words(vq)
+    ks_p = _pack_kv_scales(kscl).astype(jnp.bfloat16)
+    vs_p = _pack_kv_scales(vscl).astype(jnp.bfloat16)
+    kd = ((kq - 128).astype(jnp.float32) * kscl[..., None]).astype(jnp.bfloat16)
+    vd = ((vq - 128).astype(jnp.float32) * vscl[..., None]).astype(jnp.bfloat16)
+    for W in (None, 300):
+        got = np.asarray(prefill_attention(
+            q, kw, vw, pos, slots, k_scale=ks_p, v_scale=vs_p, window=W),
+            np.float32)
+        want = np.asarray(ref(q, kd, vd, window=W))
+        np.testing.assert_allclose(
+            got[live], want[live], rtol=5e-2, atol=2e-2,
+            err_msg=f"prefill int8 W={W}")
+
+
 CHECKS: List[Tuple[str, Callable[[], None]]] = [
     ("dequant", check_dequant),
     ("gemv", check_gemv),
     ("decode_attention", check_decode_attention),
+    ("prefill_attention", check_prefill_attention),
     ("kv_append", check_kv_append),
 ]
 
