@@ -87,6 +87,66 @@ def test_generate_cli_continues_the_walk(pipeline, capsys):
     assert str(want) in out, (out, want)
 
 
+MOE_CFG = None  # built lazily: dataclass import order
+
+
+def _moe_cfg():
+    from xbitops_tpu.models.moe import MoeConfig
+
+    return dataclasses.replace(
+        MoeConfig.tiny_moe(vocab=256, seq=64), num_layers=2
+    )
+
+
+@pytest.fixture(scope="module")
+def moe_pipeline(tmp_path_factory):
+    """Mixtral-format path: structured MoE dense ckpt -> quantize CLI (MoE
+    GPTQ: per-expert Hessians from routed tokens) -> packed dir.  Exercises
+    io/gptq_loader's Mixtral ingestion end-to-end (VERDICT r4 item 3b)."""
+    root = tmp_path_factory.mktemp("e2e_moe")
+    cfg = _moe_cfg()
+    dense_dir = root / "dense"
+    packed_dir = root / "packed"
+    params = structured.structured_moe_params(cfg, cycle=CYCLE, seed=0)
+    structured.write_hf_mixtral_checkpoint(params, cfg, str(dense_dir))
+    calib = structured.structured_calib_tokens(cfg, CYCLE, n_rows=4, seq_len=48)
+    np.save(root / "calib.npy", calib)
+    rc = main([
+        "quantize", "--ckpt", str(dense_dir), "--out", str(packed_dir),
+        "--bits", "4", "--group-size", "64", "--seq-len", "48",
+        "--calib-npy", str(root / "calib.npy"),
+    ])
+    assert rc == 0
+    return dense_dir, packed_dir, cfg
+
+
+def test_moe_quantized_perplexity_parity(moe_pipeline):
+    dense_dir, packed_dir, cfg = moe_pipeline
+    dparams, dcfg = load_autogptq(str(dense_dir), max_seq_len=64)
+    assert dcfg.capacity_factor is None  # checkpoint loads = no-drop mode
+    qparams = load_packed(str(packed_dir))
+    held_out = jnp.asarray(
+        structured.structured_calib_tokens(cfg, CYCLE, 4, 32, seed=7)
+    )
+    nll_d = float(jnp.mean(sequence_nll(dparams, dcfg, held_out)))
+    nll_q = float(jnp.mean(sequence_nll(qparams, dcfg, held_out)))
+    assert nll_d < 0.1, nll_d  # the MoE source model learned the walk
+    assert nll_q < nll_d + 0.05, (nll_q, nll_d)
+
+
+def test_moe_generate_cli_continues_the_walk(moe_pipeline, capsys):
+    _, packed_dir, _ = moe_pipeline
+    start = 37
+    rc = main([
+        "generate", "--ckpt", str(packed_dir), "--prompt", str(start),
+        "--max-tokens", "8", "--slots", "1", "--max-seq-len", "32",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    want = [int(x) for x in structured.successor_stream(start, 8, CYCLE)]
+    assert str(want) in out, (out, want)
+
+
 def test_spec_decode_real_acceptance(pipeline):
     """Speculative decoding on the quantized model: tokens identical to plain
     greedy AND the n-gram draft actually accepts (periodic continuations are

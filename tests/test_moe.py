@@ -60,6 +60,66 @@ def test_moe_ffn_matches_dense_oracle(params):
     np.testing.assert_allclose(got, want, rtol=5e-2, atol=5e-2)
 
 
+def _qmatmul_oracle(hx, layer, cfg):
+    """Per-token loop through the SAME qmatmul the dispatch path uses —
+    isolates the routing/scatter/combine machinery at f32-tight tolerance
+    (quantization numerics are gated separately vs the dense oracle)."""
+    from xbitops_tpu.ops.qmatmul import qmatmul
+
+    B, T, h = hx.shape
+    k, ffn = cfg.experts_per_token, cfg.intermediate_size
+    x = hx.reshape(B * T, h)
+    logits = jnp.dot(
+        x.astype(jnp.float32), layer["router"].astype(jnp.float32))
+    # identical routing ops to moe_ffn (bitwise-equal gate weights)
+    gate, idx = jax.lax.top_k(logits, k)
+    probs = np.asarray(jax.nn.softmax(gate, axis=-1))
+    out = np.zeros((B * T, h), np.float32)
+    for n in range(x.shape[0]):
+        for w, e in zip(probs[n], np.asarray(idx[n])):
+            gu = qmatmul(x[n : n + 1], layer["w_experts_gateup"],
+                         out_dtype=hx.dtype, layer=int(e))
+            act = (jax.nn.silu(gu[..., :ffn].astype(jnp.float32))
+                   * gu[..., ffn:].astype(jnp.float32)).astype(hx.dtype)
+            y = qmatmul(act, layer["w_experts_down"],
+                        out_dtype=jnp.float32, layer=int(e))
+            out[n] += w * np.asarray(y[0], np.float32)
+    return out.reshape(B, T, h)
+
+
+def test_moe_nodrop_exact_vs_per_token(params):
+    """capacity_factor=None (inference no-drop mode): the batched dispatch
+    must match the per-token evaluation at f32-tight tolerance — nothing
+    drops, every route's contribution is exact."""
+    layer = params["layers"][0]
+    # f32 activations: no output-dtype rounding masks a dispatch bug
+    hx = jax.random.normal(jax.random.PRNGKey(11), (2, 7, CFG.hidden_size),
+                           jnp.float32) * 0.5
+    cfg = dataclasses.replace(CFG, capacity_factor=None)
+    got = np.asarray(moe.moe_ffn(hx, layer, cfg), np.float32)
+    want = _qmatmul_oracle(hx, layer, cfg)
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+
+def test_moe_nodrop_adversarial_routing(params):
+    """All tokens routed to the SAME experts (identical inputs) — the case
+    capacity factors drop hardest; no-drop mode must stay exact."""
+    layer = params["layers"][0]
+    row = jax.random.normal(jax.random.PRNGKey(12), (1, 1, CFG.hidden_size),
+                            jnp.float32) * 0.5
+    hx = jnp.broadcast_to(row, (1, 9, CFG.hidden_size))
+    cfg = dataclasses.replace(CFG, capacity_factor=None)
+    got = np.asarray(moe.moe_ffn(hx, layer, cfg), np.float32)
+    want = _qmatmul_oracle(hx, layer, cfg)
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+    # a finite capacity factor WOULD have dropped here: 9 tokens * 2 routes
+    # onto the same 2 experts exceeds ceil(9*2*1.0/4) = 5 slots per expert
+    dropped = np.asarray(
+        moe.moe_ffn(hx, layer, dataclasses.replace(CFG, capacity_factor=1.0)),
+        np.float32)
+    assert np.abs(dropped - want).max() > 1e-3
+
+
 def test_moe_capacity_drops(params):
     """With capacity 1 most routes drop; kept routes still match the oracle
     contribution-for-contribution (drop = zero contribution, never garbage)."""

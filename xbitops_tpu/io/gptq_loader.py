@@ -74,6 +74,9 @@ def llama_config_from_hf(cfg: dict, max_seq_len: Optional[int] = None) -> LlamaC
             **fields,
             n_experts=cfg.get("num_local_experts", 8),
             experts_per_token=cfg.get("num_experts_per_tok", 2),
+            # real Mixtral inference drops nothing: checkpoint loads run the
+            # exact no-drop dispatch (capacity = token count)
+            capacity_factor=None,
         )
     return LlamaConfig(**fields)
 
@@ -216,6 +219,11 @@ def load_autogptq(
             ep = f"{pre}.block_sparse_moe.experts.{e}"
             w1 = q(f"{ep}.w1", h)
             w3 = q(f"{ep}.w3", h)
+            if not isinstance(w1, formats.QTensor):
+                # dense checkpoint (quantizer input): stacked dense experts
+                gus.append(jnp.concatenate([w1, w3], axis=1))
+                downs.append(q(f"{ep}.w2", cfg.intermediate_size))
+                continue
             gu = _try_fuse([w1, w3], (cfg.intermediate_size,) * 2, 1)
             if gu is None:
                 raise NotImplementedError(

@@ -48,8 +48,13 @@ class MoeConfig(llama.LlamaConfig):
     n_experts: int = 8
     experts_per_token: int = 2
     # capacity per expert = ceil(tokens * k / E * capacity_factor); routes
-    # past an expert's capacity drop (keep only the token's other routes)
-    capacity_factor: float = 2.0
+    # past an expert's capacity drop (keep only the token's other routes).
+    # None = NO-DROP mode (capacity = token count: top-k routes are distinct
+    # experts, so an expert sees at most N routes) — exact inference
+    # semantics matching dense per-token evaluation; checkpoint loads
+    # default to it (io/gptq_loader.py) since real Mixtral inference never
+    # drops routes.
+    capacity_factor: Optional[float] = 2.0
 
     @staticmethod
     def mixtral_like(**kw) -> "MoeConfig":
@@ -138,13 +143,17 @@ def moe_ffn(
     B, T, h = hx.shape
     E, k = cfg.n_experts, cfg.experts_per_token
     w_gu, w_down = layer["w_experts_gateup"], layer["w_experts_down"]
-    if w_gu.planes[0].ndim > 3:
+    dense = not isinstance(w_gu, QTensor)  # [E, K, N] stacked dense experts
+    if not dense and w_gu.planes[0].ndim > 3:
         raise ValueError(
             "MoE expert QTensors must keep a single (expert) stacking axis — "
             "MoE layers run unrolled, not through stack_layers"
         )
     N = B * T
-    C = max(1, math.ceil(N * k * cfg.capacity_factor / E))
+    if cfg.capacity_factor is None:
+        C = N  # no-drop: top-k indices are distinct -> <= N routes/expert
+    else:
+        C = max(1, math.ceil(N * k * cfg.capacity_factor / E))
     x = hx.reshape(N, h)
     logits = jnp.dot(
         x.astype(jnp.float32), layer["router"].astype(jnp.float32)
@@ -158,8 +167,9 @@ def moe_ffn(
     pos = jnp.sum((jnp.cumsum(flat, axis=0) - flat) * flat, axis=1)  # [N*k]
     pos = pos.reshape(N, k)
     keep = pos < C
+    n_stacked = w_gu.shape[0] if dense else w_gu.planes[0].shape[0]
     if expert_axis is not None:
-        El = w_gu.planes[0].shape[0]
+        El = n_stacked
         e0 = lax.axis_index(expert_axis) * El
         local = (idx >= e0) & (idx < e0 + El)
         slot = jnp.where(keep & local, (idx - e0) * C + pos, El * C)
@@ -174,9 +184,15 @@ def moe_ffn(
     ffn = cfg.intermediate_size
 
     def one_expert(_, e):
-        gu = qmatmul(xe[e], w_gu, out_dtype=hx.dtype, layer=e, a8=a8)
+        if dense:
+            gu = jnp.dot(xe[e], w_gu[e].astype(hx.dtype))
+        else:
+            gu = qmatmul(xe[e], w_gu, out_dtype=hx.dtype, layer=e, a8=a8)
         act = (jax.nn.silu(gu[..., :ffn].astype(jnp.float32))
                * gu[..., ffn:].astype(jnp.float32)).astype(hx.dtype)
+        if dense:
+            return None, jnp.dot(act, w_down[e].astype(hx.dtype),
+                                 preferred_element_type=jnp.float32)
         return None, qmatmul(act, w_down, out_dtype=jnp.float32, layer=e,
                              a8=a8)
 

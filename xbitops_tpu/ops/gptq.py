@@ -249,6 +249,54 @@ def quantize_model_gptq(
         x = x + mm(att, nl["wo"])
 
         hx2 = llama.rms_norm(x, layer["ln_mlp"], cfg.rms_eps)
+        if "router" in layer:
+            # sparse MoE FFN: each expert's Hessian comes from the tokens the
+            # router actually sends it (its true input distribution); layer
+            # output recombines with the router weights so later layers see
+            # the quantized-expert residual stream.
+            ffn = cfg.intermediate_size
+            x2 = hx2.reshape(-1, hx2.shape[-1])
+            logits = jnp.dot(
+                x2.astype(jnp.float32), layer["router"].astype(jnp.float32)
+            )
+            gate, idx = jax.lax.top_k(logits, cfg.experts_per_token)
+            probs = jax.nn.softmax(gate, axis=-1)
+            idx_np = jnp.asarray(idx)
+            y = jnp.zeros(x2.shape, jnp.float32)
+            gus, downs = [], []
+            for e in range(cfg.n_experts):
+                routed = (idx_np == e).any(-1)
+                sel = jnp.nonzero(routed)[0]
+                # unrouted experts still get quantized — against the full
+                # token stream (no better input distribution available)
+                xe = x2[sel] if sel.size else x2
+                qgu = gq(layer["w_experts_gateup"][e], hessian_from_inputs(xe))
+                gu = mm(xe, qgu)
+                act = (jax.nn.silu(gu[..., :ffn].astype(jnp.float32))
+                       * gu[..., ffn:].astype(jnp.float32)).astype(x2.dtype)
+                qdown = gq(layer["w_experts_down"][e],
+                           hessian_from_inputs(act))
+                gus.append(qgu)
+                downs.append(qdown)
+                if sel.size:
+                    pe = jnp.sum(
+                        jnp.where(idx[sel] == e, probs[sel], 0.0), axis=-1
+                    )
+                    y = y.at[sel].add(
+                        pe[:, None]
+                        * mm(act, qdown).astype(jnp.float32)
+                    )
+            from xbitops_tpu.models.moe import stack_experts
+
+            nl["router"] = layer["router"]
+            nl["w_experts_gateup"] = stack_experts(gus)
+            nl["w_experts_down"] = stack_experts(downs)
+            x = x + y.reshape(x.shape).astype(x.dtype)
+            new_layers.append(nl)
+            if verbose:
+                print(f"  gptq layer {li + 1}/{len(params['layers'])} (moe)",
+                      flush=True)
+            continue
         h_mlp = hessian_from_inputs(hx2)
         if "w_gateup" in layer:
             nl["w_gateup"] = gq(layer["w_gateup"], h_mlp)

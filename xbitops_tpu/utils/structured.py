@@ -145,6 +145,94 @@ def write_hf_dense_checkpoint(params: dict, cfg: LlamaConfig, path: str) -> None
     )
 
 
+def structured_moe_params(
+    cfg,
+    cycle: int = 8,
+    seed: int = 0,
+    logit_scale: float = 0.1,
+    layer_scale: float = 0.02,
+) -> dict:
+    """Mixtral-shaped structured model: the dense successor model's attention
+    + embed/lm_head, with each layer's FFN replaced by a router + stacked
+    DENSE experts (``moe_ffn`` runs them through its dense branch).  The
+    successor structure rides the residual stream exactly as in
+    :func:`structured_dense_params`, so the MoE quantize -> generate proxy
+    has a real perplexity to lose."""
+    from xbitops_tpu.models.moe import MoeConfig
+
+    assert isinstance(cfg, MoeConfig)
+    params = structured_dense_params(
+        cfg, cycle=cycle, seed=seed, logit_scale=logit_scale,
+        layer_scale=layer_scale)
+    rng = np.random.default_rng(seed + 1)
+    h, ffn, E = cfg.hidden_size, cfg.intermediate_size, cfg.n_experts
+
+    def dense(shape, scale):
+        return (rng.standard_normal(shape) * scale).astype(np.float32)
+
+    for layer in params["layers"]:
+        for k in ("w_gate", "w_up", "w_down"):
+            del layer[k]
+        layer["router"] = jnp.asarray(dense((h, E), h ** -0.5), jnp.float32)
+        layer["w_experts_gateup"] = jnp.asarray(
+            dense((E, h, 2 * ffn), layer_scale), jnp.bfloat16)
+        layer["w_experts_down"] = jnp.asarray(
+            dense((E, ffn, h), layer_scale), jnp.bfloat16)
+    return params
+
+
+def write_hf_mixtral_checkpoint(params: dict, cfg, path: str) -> None:
+    """Write a dense structured MoE model as an HF-layout Mixtral checkpoint
+    (``block_sparse_moe.gate`` + ``experts.{e}.w1/w2/w3``, weights [out, in]
+    like HF Linear) — the input format of the ``quantize`` CLI for MoE."""
+    from safetensors import numpy as st_np
+
+    p = Path(path)
+    p.mkdir(parents=True, exist_ok=True)
+    ffn = cfg.intermediate_size
+    t = {}
+    for i, layer in enumerate(params["layers"]):
+        pre = f"model.layers.{i}"
+        t[f"{pre}.self_attn.q_proj.weight"] = np.asarray(layer["wq"], np.float32).T.copy()
+        t[f"{pre}.self_attn.k_proj.weight"] = np.asarray(layer["wk"], np.float32).T.copy()
+        t[f"{pre}.self_attn.v_proj.weight"] = np.asarray(layer["wv"], np.float32).T.copy()
+        t[f"{pre}.self_attn.o_proj.weight"] = np.asarray(layer["wo"], np.float32).T.copy()
+        t[f"{pre}.block_sparse_moe.gate.weight"] = np.asarray(
+            layer["router"], np.float32).T.copy()
+        gu = np.asarray(layer["w_experts_gateup"], np.float32)  # [E, h, 2ffn]
+        down = np.asarray(layer["w_experts_down"], np.float32)  # [E, ffn, h]
+        for e in range(cfg.n_experts):
+            ep = f"{pre}.block_sparse_moe.experts.{e}"
+            t[f"{ep}.w1.weight"] = gu[e, :, :ffn].T.copy()
+            t[f"{ep}.w3.weight"] = gu[e, :, ffn:].T.copy()
+            t[f"{ep}.w2.weight"] = down[e].T.copy()
+        t[f"{pre}.input_layernorm.weight"] = np.asarray(layer["ln_attn"], np.float32)
+        t[f"{pre}.post_attention_layernorm.weight"] = np.asarray(layer["ln_mlp"], np.float32)
+    t["model.embed_tokens.weight"] = np.asarray(params["embed"], np.float32)
+    t["lm_head.weight"] = np.asarray(params["lm_head"], np.float32).T.copy()
+    t["model.norm.weight"] = np.asarray(params["ln_final"], np.float32)
+    st_np.save_file(t, str(p / "model.safetensors"))
+    (p / "config.json").write_text(
+        json.dumps(
+            dict(
+                model_type="mixtral",
+                vocab_size=cfg.vocab_size,
+                hidden_size=cfg.hidden_size,
+                intermediate_size=cfg.intermediate_size,
+                num_hidden_layers=cfg.num_layers,
+                num_attention_heads=cfg.num_heads,
+                num_key_value_heads=cfg.num_kv_heads,
+                head_dim=cfg.head_dim,
+                rope_theta=cfg.rope_theta,
+                rms_norm_eps=cfg.rms_eps,
+                max_position_embeddings=cfg.max_seq_len,
+                num_local_experts=cfg.n_experts,
+                num_experts_per_tok=cfg.experts_per_token,
+            )
+        )
+    )
+
+
 def structured_calib_tokens(
     cfg: LlamaConfig, cycle: int, n_rows: int, seq_len: int, seed: int = 1
 ) -> np.ndarray:
