@@ -241,6 +241,31 @@ def test_engine_chunked_prefill_mixed_final_chunks(params):
         assert out.tokens == solo[0].tokens
 
 
+def test_engine_kv_quant_auto_policy(params, monkeypatch):
+    """kv_quant=None (default) picks the cache dtype by regime: bf16 at
+    short context, int8 at long context or when two bf16 caches + weights
+    would not fit HBM (the donation regime).  Explicit values always win."""
+    import dataclasses
+
+    from xbitops_tpu.engine import engine as engmod
+
+    # tiny max_seq_len (64) -> short-context regime -> bf16
+    assert Engine(params, CFG, slots=2).kv_quant is False
+    # long context -> int8 (CPU reports no HBM limit; the S rule decides)
+    cfg_long = dataclasses.replace(CFG, max_seq_len=1024)
+    eng = Engine(params, cfg_long, slots=2)
+    assert eng.kv_quant is True and eng.cache.quantized
+    # forcing bf16 at long context is honored
+    assert Engine(params, cfg_long, slots=2, kv_quant=False).kv_quant is False
+    # a tight HBM budget forces int8 even at short context (donation regime)
+    weights = engmod._tree_nbytes(params)
+    cache2 = 2 * engmod._tree_nbytes(Engine(params, CFG, slots=2).cache)
+    monkeypatch.setattr(
+        engmod, "_device_hbm_limit", lambda: (weights + cache2) / 0.82 * 0.9
+    )
+    assert Engine(params, CFG, slots=2).kv_quant is True
+
+
 def test_engine_kv_quant_close_to_bf16(params):
     """int8 KV cache: greedy generation stays (near-)identical to the bf16
     cache on a tiny model, and the quantized cache arrays are actually int8."""
@@ -280,6 +305,81 @@ def test_engine_spec_decode_matches_greedy(params):
     for a, b in zip(plain, spec):
         assert a.tokens == b.tokens, (a.tokens, b.tokens)
     assert eng.spec_stats["drafted"] > 0
+
+
+def test_engine_spec_decode_draft_model_nonperiodic():
+    """Draft-MODEL speculation on a NON-periodic workload: successor walks
+    with cycle = vocab never repeat a bigram within the horizon, so the
+    n-gram draft accepts ~nothing — while a small draft model that learned
+    the same walk accepts nearly everything.  All three engines must emit
+    the identical greedy stream (VERDICT r4 item 6)."""
+    import dataclasses
+
+    from xbitops_tpu.utils import structured
+
+    cfg = dataclasses.replace(
+        llama.LlamaConfig.tiny(vocab=256, seq=64), num_layers=2)
+    cycle = cfg.vocab_size  # walk t -> t+1 mod V: no bigram ever repeats
+    target = structured.structured_dense_params(cfg, cycle=cycle, seed=0)
+    draft_cfg = dataclasses.replace(cfg, num_layers=1)
+    draft = structured.structured_dense_params(draft_cfg, cycle=cycle, seed=3)
+
+    reqs = lambda: [Request(prompt=[5, 6, 7], max_new_tokens=12, id=0),
+                    Request(prompt=[100, 101], max_new_tokens=10, id=1)]
+    plain = Engine(target, cfg, slots=2, prefill_buckets=[8]).generate(reqs())
+    # ground truth: both walks continue the successor stream
+    assert plain[0].tokens == list(
+        structured.successor_stream(7, 12, cycle))
+
+    ngram_eng = Engine(target, cfg, slots=2, prefill_buckets=[8],
+                       spec_tokens=4)
+    ngram = ngram_eng.generate(reqs())
+    model_eng = Engine(target, cfg, slots=2, prefill_buckets=[8],
+                       spec_tokens=4, draft_params=draft,
+                       draft_cfg=draft_cfg)
+    spec = model_eng.generate(reqs())
+    for a, b, c in zip(plain, ngram, spec):
+        assert a.tokens == b.tokens == c.tokens, (a.tokens, b.tokens, c.tokens)
+    assert model_eng.spec_stats["draft_source"] == "model"
+    assert ngram_eng.spec_stats["draft_source"] == "ngram"
+    rate_model = (model_eng.spec_stats["accepted"]
+                  / model_eng.spec_stats["drafted"])
+    rate_ngram = (ngram_eng.spec_stats["accepted"]
+                  / ngram_eng.spec_stats["drafted"])
+    assert rate_model >= 0.8, model_eng.spec_stats
+    assert rate_ngram <= 0.2, ngram_eng.spec_stats
+
+
+def test_engine_spec_decode_draft_model_long_prompt_and_refill():
+    """Draft-model speculation through the CHUNKED admission path (prompt >
+    largest bucket) and slot refill: the draft cache prefills alongside the
+    target's in every admission wave."""
+    import dataclasses
+
+    from xbitops_tpu.utils import structured
+
+    cfg = dataclasses.replace(
+        llama.LlamaConfig.tiny(vocab=256, seq=64), num_layers=2)
+    cycle = cfg.vocab_size
+    target = structured.structured_dense_params(cfg, cycle=cycle, seed=0)
+    draft_cfg = dataclasses.replace(cfg, num_layers=1)
+    draft = structured.structured_dense_params(draft_cfg, cycle=cycle, seed=3)
+
+    long_prompt = [int(t) for t in structured.successor_stream(40, 20, cycle)]
+    reqs = lambda: [
+        Request(prompt=long_prompt, max_new_tokens=8, id=0),  # chunked
+        Request(prompt=[9, 10], max_new_tokens=8, id=1),
+        Request(prompt=[200, 201], max_new_tokens=8, id=2),  # refill wave
+    ]
+    plain = Engine(target, cfg, slots=2, prefill_buckets=[8],
+                   prefill_chunk=16).generate(reqs())
+    eng = Engine(target, cfg, slots=2, prefill_buckets=[8], prefill_chunk=16,
+                 spec_tokens=3, draft_params=draft, draft_cfg=draft_cfg)
+    spec = eng.generate(reqs())
+    for a, b in zip(plain, spec):
+        assert a.tokens == b.tokens, (a.tokens, b.tokens)
+    rate = eng.spec_stats["accepted"] / eng.spec_stats["drafted"]
+    assert rate >= 0.8, eng.spec_stats
 
 
 def test_engine_spec_decode_acceptance_on_repetitive_model(params):

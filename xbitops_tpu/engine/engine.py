@@ -51,6 +51,35 @@ class Completion:
     finish_reason: str  # "eos" | "length" | "capacity"
 
 
+def _tree_nbytes(t) -> int:
+    return sum(
+        leaf.size * leaf.dtype.itemsize
+        for leaf in jax.tree.leaves(t)
+        if hasattr(leaf, "size") and hasattr(leaf, "dtype")
+    )
+
+
+def _device_hbm_limit() -> Optional[float]:
+    dev = jax.devices()[0]
+    try:
+        stats = dev.memory_stats()
+        limit = (stats or {}).get("bytes_limit") or (stats or {}).get(
+            "bytes_reservable_limit"
+        )
+    except Exception:
+        limit = None
+    if not limit:
+        # some backends (the remote-tunnel TPU among them) report no
+        # stats — fall back to the known per-chip HBM of the device kind
+        hbm_by_kind = {
+            "TPU v4": 32e9, "TPU v5 lite": 16e9, "TPU v5e": 16e9,
+            "TPU v5": 95e9, "TPU v5p": 95e9, "TPU v6 lite": 32e9,
+            "TPU v6e": 32e9,
+        }
+        limit = hbm_by_kind.get(getattr(dev, "device_kind", ""))
+    return limit
+
+
 def default_buckets(max_seq_len: int) -> List[int]:
     b, out = 16, []
     while b < max_seq_len:
@@ -77,7 +106,7 @@ class Engine:
         cache_dtype=jnp.bfloat16,
         decode_burst: int = 1,
         prefill_chunk: int = 512,
-        kv_quant: bool = False,
+        kv_quant: Optional[bool] = None,
         spec_tokens: int = 0,
         paged: bool = False,
         pool_pages: Optional[int] = None,
@@ -85,6 +114,8 @@ class Engine:
         pipeline: int = 0,
         max_restarts: int = 0,
         donate_cache: Optional[bool] = None,
+        draft_params=None,
+        draft_cfg: Optional[llama.LlamaConfig] = None,
     ):
         """``decode_burst`` chains that many decode steps in one device
         dispatch (a ``lax.scan``): host<->device round-trip latency amortizes
@@ -95,7 +126,11 @@ class Engine:
         attend the cache (O(chunk * S) attention memory instead of O(T^2)).
         ``kv_quant`` stores the KV cache as int8, lane-major packed (4
         positions per int32 word) with per-(token, head) scales: twice the
-        context capacity per HBM byte, near-lossless.
+        context capacity per HBM byte, near-lossless.  ``None`` (default)
+        auto-picks from the measured regimes — int8 at long context
+        (max_seq_len >= 1024) or whenever two bf16 caches + weights would
+        exceed HBM (forcing donation), bf16 otherwise (int8's in-kernel
+        dequant costs ~8% at short live lengths); see ``_auto_kv_quant``.
 
         ``paged=True`` allocates the KV cache as a shared page POOL of
         ``pool_pages`` pages x ``page_size`` positions with per-slot page
@@ -130,6 +165,18 @@ class Engine:
         Greedy-only (all requests must have temperature <= 0); mutually
         exclusive with ``decode_burst > 1``.
 
+        ``draft_params``/``draft_cfg`` switch speculative decoding's draft
+        source from n-gram prompt-lookup to a (small, usually quantized)
+        DRAFT MODEL: each spec step runs ``spec_tokens`` greedy draft-model
+        decode steps in one dispatch (its own KV cache rides along,
+        length-synced to the target's before every chain), then the target
+        verifies as usual.  The draft model sees every admitted prompt (its
+        cache prefills alongside the target's) and must share the target's
+        vocabulary and ``max_seq_len``.  Unlike the n-gram draft, a trained
+        draft model accepts on NON-repetitive continuations — the standard
+        way spec decoding pays off in production.  Requires ``spec_tokens >
+        0``, no mesh, non-paged.
+
         ``max_restarts`` > 0 enables failure recovery: a device error during
         a dispatch (preemption, interconnect fault — surfaced by JAX as
         ``JaxRuntimeError``) rebuilds the KV cache from scratch and REQUEUES
@@ -147,6 +194,19 @@ class Engine:
             b for b in (prefill_buckets or default_buckets(cfg.max_seq_len))
             if b <= self.prefill_chunk
         ) or [self.prefill_chunk]
+        if kv_quant is None:
+            # auto-pick the cache dtype from the measured regimes (see
+            # _auto_kv_quant); the caller can force either with True/False
+            kv_quant = (
+                not paged
+                and mesh is None
+                and cache_dtype == jnp.bfloat16
+                and cfg.max_seq_len % 4 == 0
+                and self.prefill_chunk % 4 == 0
+                and cfg.flash_decode and cfg.head_dim % 128 == 0
+                and self._auto_kv_quant(params, cfg, slots)
+            )
+        self.kv_quant = bool(kv_quant)
         if kv_quant:
             # packed int8 cache writes whole 4-position words: every prefill
             # shape must be a multiple of 4
@@ -160,13 +220,42 @@ class Engine:
             raise ValueError("spec_tokens and decode_burst > 1 are exclusive")
         if self.spec_tokens and self.pipeline:
             raise ValueError("spec_tokens and pipeline are exclusive")
+        self.draft_cfg = draft_cfg
+        self.draft_params = None
+        self._draft_cache = None
+        if draft_params is not None:
+            if not self.spec_tokens:
+                raise ValueError("draft_params requires spec_tokens > 0")
+            if draft_cfg is None:
+                raise ValueError("draft_params requires draft_cfg")
+            if mesh is not None or paged:
+                raise ValueError(
+                    "draft-model speculation supports mesh=None, paged=False")
+            if draft_cfg.vocab_size < cfg.vocab_size:
+                raise ValueError("draft model must cover the target vocab")
+            if draft_cfg.max_seq_len != cfg.max_seq_len:
+                raise ValueError(
+                    "draft_cfg.max_seq_len must equal the target's (the "
+                    "draft cache mirrors the target's positions)")
+            try:
+                draft_params = llama.stack_layers(draft_params)
+            except (ValueError, TypeError):
+                pass
+            self.draft_params = draft_params
+            self._draft_cache_factory = lambda: llama.KVCache.init(
+                draft_cfg, slots)
+            self._draft_cache = self._draft_cache_factory()
         self.max_restarts = max(0, max_restarts)
         self.restarts = 0
         self._fault_hook = None  # tests inject dispatch-time device faults
         self._cache_factory = None  # set below once cache config is known
         self._key = jax.random.PRNGKey(seed)
         self._next_id = 0
-        self.spec_stats = {"drafted": 0, "accepted": 0}
+        self.spec_stats = {
+            "drafted": 0, "accepted": 0,
+            "draft_source": ("model" if draft_params is not None else "ngram")
+            if self.spec_tokens else None,
+        }
 
         # stacked layers: O(1) compile in depth; the fused kernel indexes the
         # stacked planes in place (no per-step copy) and act-order perms stack
@@ -235,34 +324,37 @@ class Engine:
     def _two_caches_fit(self, headroom: float = 0.82) -> bool:
         """True when weights + TWO cache buffers (the no-donation steady
         state) fit in device memory with headroom for activations."""
-
-        def nbytes(t):
-            return sum(
-                leaf.size * leaf.dtype.itemsize
-                for leaf in jax.tree.leaves(t)
-                if hasattr(leaf, "size") and hasattr(leaf, "dtype")
-            )
-
-        dev = jax.devices()[0]
-        try:
-            stats = dev.memory_stats()
-            limit = (stats or {}).get("bytes_limit") or (stats or {}).get(
-                "bytes_reservable_limit"
-            )
-        except Exception:
-            limit = None
-        if not limit:
-            # some backends (the remote-tunnel TPU among them) report no
-            # stats — fall back to the known per-chip HBM of the device kind
-            hbm_by_kind = {
-                "TPU v4": 32e9, "TPU v5 lite": 16e9, "TPU v5e": 16e9,
-                "TPU v5": 95e9, "TPU v5p": 95e9, "TPU v6 lite": 32e9,
-                "TPU v6e": 32e9,
-            }
-            limit = hbm_by_kind.get(getattr(dev, "device_kind", ""))
+        limit = _device_hbm_limit()
         if not limit:
             return False  # unknown budget: keep the safe donating path
-        return nbytes(self.params) + 2 * nbytes(self.cache) <= headroom * limit
+        return (
+            _tree_nbytes(self.params) + 2 * _tree_nbytes(self.cache)
+            <= headroom * limit
+        )
+
+    @staticmethod
+    def _auto_kv_quant(params, cfg, slots: int, headroom: float = 0.82) -> bool:
+        """Pick the KV cache dtype (int8 vs bf16) from the measured regimes
+        (docs/PERF_NOTES.md, CLAUDE.md rule 15):
+
+        - short context (live ≲ a few hundred): int8's extra in-kernel VPU
+          work isn't paid back by the halved bytes — bf16 wins ~8%;
+        - long context: attention is read-bound, int8 halves the bytes AND
+          doubles capacity — int8 wins outright;
+        - whenever weights + two bf16 caches exceed HBM, bf16 forces cache
+          donation (≈3.5 ms/step of per-iteration scale re-staging) or OOM —
+          int8's halved footprint usually restores the donation-free path.
+        """
+        L, Hkv, D, S = (cfg.num_layers, cfg.num_kv_heads, cfg.head_dim,
+                        cfg.max_seq_len)
+        elems = 2 * L * slots * Hkv * S * D  # k + v positions × head_dim
+        bf16_bytes = 2 * elems
+        limit = _device_hbm_limit()
+        if limit:
+            w = _tree_nbytes(params)
+            if w + 2 * bf16_bytes > headroom * limit:
+                return True  # bf16 would donate (or OOM); int8 halves it
+        return S >= 1024  # long context: read-bound, int8 wins
 
     # --- jitted step functions ---
 
@@ -425,6 +517,67 @@ class Engine:
                 return greedy, accepted, cache
 
             self._spec_fn = spec_fn
+
+            if self.draft_params is not None:
+                dcfg = self.draft_cfg
+                gamma = self.spec_tokens
+
+                @partial(jax.jit, donate_argnums=donate)
+                def draft_prefill_fn(dparams, dcache, packed):
+                    """Mirror of prefill_fn on the draft model: same packed
+                    admission rows, cache writes only (tokens unused)."""
+                    _, dcache = llama.prefill_slots(
+                        dparams, dcfg, packed[:, :-3], packed[:, -3],
+                        packed[:, -2], dcache,
+                    )
+                    return dcache
+
+                @partial(jax.jit, donate_argnums=donate)
+                def draft_prefill_chunks_fn(dparams, dcache, packed):
+                    _, dcache = llama.prefill_slots_chunk(
+                        dparams, dcfg, packed[:, :-5], packed[:, -5],
+                        packed[:, -4], packed[:, -3], dcache,
+                        resets=packed[:, -2].astype(bool),
+                    )
+                    return dcache
+
+                @partial(jax.jit, donate_argnums=donate)
+                def draft_chain_fn(dparams, dcache, tok0, active, sync_lens):
+                    """gamma+1 greedy draft-model steps in one dispatch.
+
+                    Lengths first sync to the target's (entries before
+                    ``tok0``); the chain then feeds tok0, d1..d_gamma — the
+                    last feed's output is discarded but its cache WRITE keeps
+                    a fully-accepted chain in sync (the target then holds
+                    entries through d_gamma)."""
+                    dcache = dataclasses.replace(
+                        dcache,
+                        lengths=jnp.where(active, sync_lens, dcache.lengths),
+                    )
+
+                    def body(carry, _):
+                        toks, dc = carry
+                        logits, dc = llama.decode_step(
+                            dparams, dcfg, toks, dc, active=active)
+                        nxt = jnp.argmax(
+                            logits.astype(jnp.float32), axis=-1
+                        ).astype(jnp.int32)
+                        nxt = jnp.where(active, nxt, 0)
+                        return (nxt, dc), nxt
+
+                    (_, dcache), seq = jax.lax.scan(
+                        body, (tok0, dcache), None, length=gamma + 1)
+                    return jnp.swapaxes(seq[:gamma], 0, 1), dcache
+
+                @partial(jax.jit, donate_argnums=donate)
+                def spec_model_fn(params, cache, tok0, drafts, active):
+                    toks = jnp.concatenate([tok0[:, None], drafts], axis=1)
+                    return base_spec(params, cache, toks, active)
+
+                self._draft_prefill_fn = draft_prefill_fn
+                self._draft_prefill_chunks_fn = draft_prefill_chunks_fn
+                self._draft_chain_fn = draft_chain_fn
+                self._spec_model_fn = spec_model_fn
 
         self._prefill_fn = prefill_fn
         # One decode program: since the multi-slot kernel redesign, flash
@@ -663,10 +816,16 @@ class Engine:
                             packed[i, -2] = int(ci == 0)
                             packed[i, -1] = np.float32(r.temperature).view(
                                 np.int32)
+                        packed_dev = jnp.asarray(packed)
                         toks_dev, self.cache = self._prefill_chunks_fn(
-                            self.params, self.cache, jnp.asarray(packed),
+                            self.params, self.cache, packed_dev,
                             self._split_key(),
                         )
+                        if self.draft_params is not None:
+                            self._draft_cache = self._draft_prefill_chunks_fn(
+                                self.draft_params, self._draft_cache,
+                                packed_dev,
+                            )
                         # only chunks FINAL for some prompt carry a token the
                         # host needs; reading back every chunk would insert a
                         # round-trip sync between chunk dispatches (non-final
@@ -694,10 +853,14 @@ class Engine:
                         packed[i, -3] = len(prompt)
                         packed[i, -2] = b
                         packed[i, -1] = np.float32(r.temperature).view(np.int32)
+                    packed_dev = jnp.asarray(packed)
                     toks_dev, self.cache = self._prefill_fn(
-                        self.params, self.cache, jnp.asarray(packed),
+                        self.params, self.cache, packed_dev,
                         self._split_key(),
                     )
+                    if self.draft_params is not None:
+                        self._draft_cache = self._draft_prefill_fn(
+                            self.draft_params, self._draft_cache, packed_dev)
                     toks_np = np.asarray(jax.device_get(toks_dev))
                     for i, (b, r, prompt) in enumerate(admit):
                         self._admit_slot(b, r, prompt, slot_req, slot_gen,
@@ -736,18 +899,40 @@ class Engine:
 
                 if self.spec_tokens:
                     gamma = self.spec_tokens
-                    toks = np.zeros((self.slots, gamma + 1), np.int32)
-                    for b in range(self.slots):
-                        if step_active[b]:
-                            hist = list(slot_req[b].prompt) + slot_gen[b]
-                            toks[b, 0] = cur_tok[b]
-                            toks[b, 1:] = self._draft(hist, gamma)
-                    greedy, accepted, self.cache = self._spec_fn(
-                        self.params, self.cache, jnp.asarray(toks),
-                        jnp.asarray(step_active)
-                    )
-                    g = np.asarray(jax.device_get(greedy))
-                    acc = np.asarray(jax.device_get(accepted))
+                    if self.draft_params is not None:
+                        # draft-model source: the whole draft chain + verify
+                        # runs in two dispatches; drafts never round-trip
+                        # before verification (one readback at the end)
+                        act_dev = jnp.asarray(step_active)
+                        tok0_dev = jnp.asarray(cur_tok)
+                        drafts_dev, self._draft_cache = self._draft_chain_fn(
+                            self.draft_params, self._draft_cache, tok0_dev,
+                            act_dev, self.cache.lengths,
+                        )
+                        greedy, accepted, self.cache = self._spec_model_fn(
+                            self.params, self.cache, tok0_dev, drafts_dev,
+                            act_dev,
+                        )
+                        g, acc, drafts_np = jax.device_get(
+                            (greedy, accepted, drafts_dev))
+                        g, acc = np.asarray(g), np.asarray(acc)
+                        toks = np.concatenate(
+                            [np.asarray(cur_tok)[:, None],
+                             np.asarray(drafts_np)], axis=1,
+                        ).astype(np.int32)
+                    else:
+                        toks = np.zeros((self.slots, gamma + 1), np.int32)
+                        for b in range(self.slots):
+                            if step_active[b]:
+                                hist = list(slot_req[b].prompt) + slot_gen[b]
+                                toks[b, 0] = cur_tok[b]
+                                toks[b, 1:] = self._draft(hist, gamma)
+                        greedy, accepted, self.cache = self._spec_fn(
+                            self.params, self.cache, jnp.asarray(toks),
+                            jnp.asarray(step_active)
+                        )
+                        g = np.asarray(jax.device_get(greedy))
+                        acc = np.asarray(jax.device_get(accepted))
                     for b in range(self.slots):
                         if not step_active[b]:
                             continue
@@ -878,6 +1063,8 @@ class Engine:
                 dev.clear()
                 dev.update({"key": None, "last": None})
                 self.cache = self._cache_factory()
+                if self.draft_params is not None:
+                    self._draft_cache = self._draft_cache_factory()
 
         # merge pre-restart emissions back into resumed completions
         if resume_prefix:
