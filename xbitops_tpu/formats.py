@@ -344,30 +344,42 @@ def dequant_reference(
 
 
 def paired_plane_layout(bits: int) -> bool:
-    """True when ``bits`` stores as the single 4-bit plane, which uses the
-    PAIRED word layout (see :func:`_pack_plane_paired`): kernels then decode
-    TWO values per VPU op via an int32→bf16 (or int16) ``pltpu.bitcast``
-    instead of one shift/mask + a two-op int→bf16 convert per value.  This is
-    the headline 4-bit format's answer to the extraction cost that bounds the
-    reference's nibble decode (``gemv_w4a16_pt.cu:84-95``)."""
-    return PLANE_DECOMP[bits] == (4,)
+    """True when ``bits``' FIRST (low) plane is the 4-bit plane, which uses
+    the PAIRED word layout (see :func:`_pack_plane_paired`): kernels then
+    decode TWO values per VPU op via an int32→bf16 (or int16)
+    ``pltpu.bitcast`` instead of one shift/mask + a two-op int→bf16 convert
+    per value.  This is the headline 4-bit format's answer to the extraction
+    cost that bounds the reference's nibble decode
+    (``gemv_w4a16_pt.cu:84-95``).  Since round 5 the 4-bit plane of the
+    MULTI-plane widths (5/6/7) pairs too — the 4-bit plane carries most of
+    those widths' decode work (4 of 5/6/7 bits), so the bitcast decode is
+    where their bandwidth comes from."""
+    return PLANE_DECOMP[bits][0] == 4
 
 
 def paired_ok(bits: int, tile_k: int, group_size: int) -> bool:
-    """Whether this (bits, tile_k, group_size) combination stores PAIRED.
+    """Whether this (bits, tile_k, group_size) combination stores its 4-bit
+    plane PAIRED.
 
     Pure function of QTensor static metadata (so it needs no extra field,
     checkpoint entry, or pytree aux change): a kernel chunk
-    ``cs = min(tile_k/4, rows-per-scale-group)`` must be a multiple of 16 so
-    its word-row slice (``cs/2``) keeps Mosaic's 8-sublane alignment — odd
-    group sizes (not multiples of 16) fall back to the slot layout."""
+    ``cs = min(tile_k/4, rows-per-scale-group, slot height of every other
+    plane)`` must be a multiple of 16 so its word-row slice (``cs/2``) keeps
+    Mosaic's 8-sublane alignment — odd group sizes (not multiples of 16)
+    fall back to the slot layout."""
     if not paired_plane_layout(bits):
         return False
     gt = max(1, tile_k // group_size)
     g_tile = tile_k // gt
     ph = tile_k // 4  # K rows per pair slot
     cs = min(ph, g_tile)
-    return cs % 16 == 0 and ph % cs == 0 and g_tile % cs == 0
+    for pb in PLANE_DECOMP[bits][1:]:  # 5/6/7-bit: the 1/2-bit slot planes
+        cs = min(cs, tile_k // (32 // pb))
+    if cs % 16 or ph % cs or g_tile % cs:
+        return False
+    return all(
+        (tile_k // (32 // pb)) % cs == 0 for pb in PLANE_DECOMP[bits][1:]
+    )
 
 
 def _pack_plane(vals: jax.Array, pb: int, tile_k: int) -> jax.Array:
@@ -416,13 +428,14 @@ def pack_planes(
     group sizes keep the slot layout the kernels can chunk."""
     if paired is None:
         paired = paired_plane_layout(bits)
-    if paired:
-        return (_pack_plane_paired(wq & 15, tile_k),)
     planes = []
     shift = 0
-    for pb in PLANE_DECOMP[bits]:
+    for pi, pb in enumerate(PLANE_DECOMP[bits]):
         pv = (wq >> shift) & ((1 << pb) - 1)
-        planes.append(_pack_plane(pv, pb, tile_k))
+        if paired and pi == 0:  # the 4-bit plane (always first when present)
+            planes.append(_pack_plane_paired(pv, tile_k))
+        else:
+            planes.append(_pack_plane(pv, pb, tile_k))
         shift += pb
     return tuple(planes)
 
@@ -459,15 +472,15 @@ def unpack_planes_reference(
     N = planes[0].shape[-1]
     if paired is None:
         paired = paired_plane_layout(bits)
-    if paired:
-        tiles = planes[0].reshape(K // tile_k, tile_k // 8, N)
-        return jax.vmap(_unpack_plane_block_paired)(tiles).reshape(K, N)
     wq = jnp.zeros((K, N), jnp.int32)
     shift = 0
-    for plane, pb in zip(planes, PLANE_DECOMP[bits]):
+    for pi, (plane, pb) in enumerate(zip(planes, PLANE_DECOMP[bits])):
         ratio = 32 // pb
         tiles = plane.reshape(K // tile_k, tile_k // ratio, N)
-        vals = jax.vmap(partial(_unpack_plane_block, pb=pb))(tiles)
+        if paired and pi == 0:
+            vals = jax.vmap(_unpack_plane_block_paired)(tiles)
+        else:
+            vals = jax.vmap(partial(_unpack_plane_block, pb=pb))(tiles)
         wq = wq | (vals.reshape(K, N) << shift)
         shift += pb
     return wq

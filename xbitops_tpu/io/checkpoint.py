@@ -25,7 +25,8 @@ __all__ = ["save_packed", "load_packed"]
 # v2: 4-bit planes switched from the sublane-strided slot layout to the
 # PAIRED layout (formats._pack_plane_paired); v1 checkpoints must be
 # re-converted from their GPTQ source (conversion is offline and cheap).
-_FORMAT_VERSION = 2
+# v3: the 4-bit plane of the multi-plane widths (5/6/7-bit) pairs too.
+_FORMAT_VERSION = 3
 
 
 def _encode(node: Any, path: str, arrays: dict) -> dict:

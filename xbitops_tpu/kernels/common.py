@@ -54,20 +54,30 @@ def chunk_plan(plane_bits, tile_k: int, g_tile: int,
     single slot of every plane AND a single scale group — then each chunk is a
     static slice + shift + mask per plane, no concatenate, no gather.
 
-    PAIRED layout (4-bit): pair slot ``j`` covers ``tile_k/4`` contiguous
-    local rows spread over ``tile_k/8`` word rows (two rows per word), so a
-    chunk must lie inside one pair slot and its word-row slice (``cs/2``) must
-    keep Mosaic's 8-sublane alignment — hence ``cs >= 16`` i.e. group
-    sizes >= 16 (the documented floor).
+    PAIRED layout (4-bit plane): pair slot ``j`` covers ``tile_k/4``
+    contiguous local rows spread over ``tile_k/8`` word rows (two rows per
+    word), so a chunk must lie inside one pair slot and its word-row slice
+    (``cs/2``) must keep Mosaic's 8-sublane alignment — hence ``cs >= 16``
+    i.e. group sizes >= 16 (the documented floor).  Multi-plane widths with
+    a paired 4-bit plane (5/6/7) additionally keep every chunk inside one
+    slot of their 1/2-bit slot-layout planes.
     """
     if paired:
         ph = tile_k // 4  # K rows per pair slot
         cs = min(ph, g_tile)
+        for pb in plane_bits[1:]:  # mixed: remaining slot-layout planes
+            cs = min(cs, tile_k // (32 // pb))
         if ph % cs or g_tile % cs:
             raise ValueError(
                 f"chunk {cs} must divide pair-slot height {ph} and group "
                 f"rows {g_tile} (tile_k={tile_k})"
             )
+        for pb in plane_bits[1:]:
+            if (tile_k // (32 // pb)) % cs:
+                raise ValueError(
+                    f"chunk {cs} must divide plane slot height "
+                    f"{tile_k // (32 // pb)} (tile_k={tile_k}, plane {pb}b)"
+                )
         if cs % 2 or (cs // 2) % 8:
             raise ValueError(
                 f"paired 4-bit chunks need cs multiple of 16 (got {cs}; "
@@ -198,15 +208,17 @@ def extract_paired_chunk_int(blk, c: int, cs: int, tile_k: int):
 def extract_chunk(plane_blocks, plane_bits, c: int, cs: int, tile_k: int,
                   paired: bool = False):
     """Integer values ``(cs, tn) int32`` for local rows [c*cs, (c+1)*cs) of a
-    K-tile, combined across planes.  All slices/shifts are static."""
-    if paired:
-        return extract_paired_chunk_int(
-            plane_blocks[0], c, cs, tile_k
-        ).astype(jnp.int32)
+    K-tile, combined across planes.  All slices/shifts are static.  With
+    ``paired``, the first (4-bit) plane decodes via the int16 bitcast; any
+    remaining planes (5/6/7-bit widths) are slot-layout shift/mask."""
     wq = None
     shift = 0
-    for blk, pb in zip(plane_blocks, plane_bits):
-        vals = extract_plane_chunk(blk, pb, c, cs, tile_k)
+    for pi, (blk, pb) in enumerate(zip(plane_blocks, plane_bits)):
+        if paired and pi == 0:
+            vals = extract_paired_chunk_int(blk, c, cs, tile_k).astype(
+                jnp.int32)
+        else:
+            vals = extract_plane_chunk(blk, pb, c, cs, tile_k)
         part = vals if shift == 0 else (vals << shift)
         wq = part if wq is None else (wq | part)
         shift += pb

@@ -90,41 +90,42 @@ def _kernel(plane_bits, tile_k, gt, cs, compute_dtype, stacked, paired, *refs):
     for c in range(tile_k // cs):
         a_c = a[:, c * cs : (c + 1) * cs]
         a_cd = a_c.astype(w_dtype)
+        # Per-plane dots combined linearly on the OUTPUT (wq = sum_p
+        # vals_p << off_p, so a@wq = sum_p 2^off a@v_p) — skips the per-value
+        # shift-and-or recombination on the VPU.  The 4-bit plane (alone at
+        # bits=4; first plane of 5/6/7) uses the PAIRED magic-bitcast decode:
+        # 2 VPU ops per weight PAIR, zero int->bf16 converts; its +128 bias
+        # folds into the zero term below.  Slot-layout planes extract
+        # mask-only at their packed bit offset with the 2^-(pb*j) slot factor
+        # (exact) folded into the same output combination.
         biased = False
-        if paired and compute_dtype == jnp.bfloat16:
-            # 4-bit fast path: magic-biased bitcast decode (2 VPU ops per
-            # weight PAIR, zero converts); the +128 bias folds into the
-            # zero term below
-            wv = common.extract_paired_chunk_bf16(blocks[0], c, cs, tile_k)
-            d = jnp.dot(a_cd, wv, preferred_element_type=jnp.float32)
-            biased = True
-        elif paired:
-            # precise path keeps exact bias-free values (tight 3e-4 gate)
-            q = common.extract_paired_chunk_int(blocks[0], c, cs, tile_k)
-            d = jnp.dot(
-                a_cd, q.astype(w_dtype),
-                preferred_element_type=jnp.float32, precision=prec,
-            )
-        else:
-            # multi-plane widths (3/5/6/7): per-plane dots combined linearly
-            # on the OUTPUT (wq = sum_p vals_p << off_p, so
-            # a@wq = sum_p 2^off a@v_p) — skips the per-value shift-and-or
-            # recombination on the VPU.  Within a plane, values are extracted
-            # mask-only at their packed bit offset and the 2^-(pb*j) slot
-            # factor (exact) is folded into the same output combination —
-            # ~2 VPU ops/weight instead of 3.
-            d = None
-            shift = 0
-            for blk, pb in zip(blocks, plane_bits):
-                vals, inv = common.extract_plane_chunk_scaled(blk, pb, c, cs, tile_k)
+        d = None
+        shift = 0
+        for pi, (blk, pb) in enumerate(zip(blocks, plane_bits)):
+            if paired and pi == 0:
+                if compute_dtype == jnp.bfloat16:
+                    wv = common.extract_paired_chunk_bf16(blk, c, cs, tile_k)
+                    biased = True
+                else:
+                    # precise path keeps exact bias-free values (3e-4 gate)
+                    wv = common.extract_paired_chunk_int(
+                        blk, c, cs, tile_k).astype(w_dtype)
+                dp = jnp.dot(
+                    a_cd, wv,
+                    preferred_element_type=jnp.float32, precision=prec,
+                )
+                f = 1.0
+            else:
+                vals, inv = common.extract_plane_chunk_scaled(
+                    blk, pb, c, cs, tile_k)
                 dp = jnp.dot(
                     a_cd, vals.astype(w_dtype),
                     preferred_element_type=jnp.float32, precision=prec,
                 )
                 f = float(1 << shift) * inv
-                dp = dp if f == 1.0 else f * dp
-                d = dp if d is None else d + dp
-                shift += pb
+            dp = dp if f == 1.0 else f * dp
+            d = dp if d is None else d + dp
+            shift += pb
         gi = (c * cs) // g_tile
         # out += s_g * (a_g @ wq_g) - sum(a_g) * sz_g, the zero term in true
         # f32 on the VPU (chunk sums grow ~sqrt(g); bf16 rounding here would
@@ -219,27 +220,23 @@ def _kernel_a8(plane_bits, tile_k, gt, cs, stacked, paired, *refs):
         d_grp = None  # exact s32 across the group's chunks
         for c in range(c0, c0 + cpg):
             a_c = a[:, c * cs : (c + 1) * cs]
-            if paired:  # 4-bit: int16-bitcast pair decode, exact 0..15
-                v8 = common.extract_paired_chunk_int(
-                    blocks[0], c, cs, tile_k
-                ).astype(jnp.int8)
-                d = jax.lax.dot_general(
+            d = None
+            shift = 0
+            for pi, (blk, pb) in enumerate(zip(blocks, plane_bits)):
+                if paired and pi == 0:  # 4-bit plane: int16-bitcast decode
+                    v8 = common.extract_paired_chunk_int(
+                        blk, c, cs, tile_k
+                    ).astype(jnp.int8)
+                else:
+                    vals = common.extract_plane_chunk(blk, pb, c, cs, tile_k)
+                    v8 = (vals - (128 if pb == 8 else 0)).astype(jnp.int8)
+                dp = jax.lax.dot_general(
                     a_c, v8, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.int32,
                 )
-            else:
-                d = None
-                shift = 0
-                for blk, pb in zip(blocks, plane_bits):
-                    vals = common.extract_plane_chunk(blk, pb, c, cs, tile_k)
-                    v8 = (vals - (128 if pb == 8 else 0)).astype(jnp.int8)
-                    dp = jax.lax.dot_general(
-                        a_c, v8, (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.int32,
-                    )
-                    dp = dp if shift == 0 else (dp << shift)
-                    d = dp if d is None else d + dp
-                    shift += pb
+                dp = dp if shift == 0 else (dp << shift)
+                d = dp if d is None else d + dp
+                shift += pb
             d_grp = d if d_grp is None else d_grp + d
         gi = (c0 * cs) // g_tile
         total = total + d_grp.astype(jnp.float32) * s_row(s_all, gi)
@@ -294,27 +291,23 @@ def _kernel_a8_perchannel(plane_bits, tile_k, cs, stacked, paired, *refs):
     for c in range(tile_k // cs):
         a_c = a[:, c * cs : (c + 1) * cs]
         asum_t = asum_t + jnp.sum(a_c.astype(jnp.int32), axis=1, keepdims=True)
-        if paired:  # 4-bit: int16-bitcast pair decode, exact 0..15
-            v8 = common.extract_paired_chunk_int(
-                blocks[0], c, cs, tile_k
-            ).astype(jnp.int8)
-            d = jax.lax.dot_general(
+        d = None
+        shift = 0
+        for pi, (blk, pb) in enumerate(zip(blocks, plane_bits)):
+            if paired and pi == 0:  # 4-bit plane: int16-bitcast pair decode
+                v8 = common.extract_paired_chunk_int(
+                    blk, c, cs, tile_k
+                ).astype(jnp.int8)
+            else:
+                vals = common.extract_plane_chunk(blk, pb, c, cs, tile_k)
+                v8 = (vals - (128 if pb == 8 else 0)).astype(jnp.int8)
+            dp = jax.lax.dot_general(
                 a_c, v8, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32,
             )
-        else:
-            d = None
-            shift = 0
-            for blk, pb in zip(blocks, plane_bits):
-                vals = common.extract_plane_chunk(blk, pb, c, cs, tile_k)
-                v8 = (vals - (128 if pb == 8 else 0)).astype(jnp.int8)
-                dp = jax.lax.dot_general(
-                    a_c, v8, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.int32,
-                )
-                dp = dp if shift == 0 else (dp << shift)
-                d = dp if d is None else d + dp
-                shift += pb
+            dp = dp if shift == 0 else (dp << shift)
+            d = dp if d is None else d + dp
+            shift += pb
         total = total + d
     acc_ref[...] += total
     asum_ref[...] += asum_t
