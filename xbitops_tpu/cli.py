@@ -105,6 +105,34 @@ def cmd_generate(args) -> int:
     return 0
 
 
+def cmd_serve(args) -> int:
+    from xbitops_tpu.engine import Engine
+    from xbitops_tpu.engine.server import ServingEndpoint
+
+    params, cfg = _load_any(args.ckpt, max_seq_len=args.max_seq_len)
+    tokenizer = None
+    tok_path = Path(args.ckpt)
+    if (tok_path / "tokenizer.json").exists() or (
+            tok_path / "tokenizer.model").exists():
+        try:
+            from transformers import AutoTokenizer
+
+            tokenizer = AutoTokenizer.from_pretrained(str(tok_path))
+        except Exception as e:  # pragma: no cover
+            print(f"(tokenizer unavailable: {e}; token-id prompts only)",
+                  file=sys.stderr)
+    eng = Engine(params, cfg, slots=args.slots, decode_burst=args.burst)
+    ep = ServingEndpoint(eng, host=args.host, port=args.port,
+                         tokenizer=tokenizer)
+    print(f"serving on http://{args.host}:{ep.port} "
+          f"(slots={args.slots}, kv_quant={eng.kv_quant})", file=sys.stderr)
+    try:
+        ep.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    return 0
+
+
 def cmd_quantize(args) -> int:
     import shutil
 
@@ -221,6 +249,15 @@ def main(argv=None) -> int:
     b.add_argument("--group-size", type=int, default=128)
     b.add_argument("--batch", type=int, default=4)
     b.set_defaults(fn=cmd_bench)
+
+    s = sub.add_parser("serve", help="HTTP serving endpoint (/v1/completions)")
+    s.add_argument("--ckpt", required=True)
+    s.add_argument("--host", default="127.0.0.1")
+    s.add_argument("--port", type=int, default=8000)
+    s.add_argument("--slots", type=int, default=8)
+    s.add_argument("--burst", type=int, default=8)
+    s.add_argument("--max-seq-len", type=int, default=None)
+    s.set_defaults(fn=cmd_serve)
 
     q = sub.add_parser("quantize", help="GPTQ-quantize a dense HF Llama checkpoint")
     q.add_argument("--ckpt", required=True, help="dense safetensors dir (HF layout)")
