@@ -42,6 +42,65 @@ def _prefilled(params, B, T=6):
     return jnp.argmax(logits, -1).astype(jnp.int32), cache
 
 
+def test_pp_decode_burst_matches_sequential(pipe_mesh):
+    """The software-pipelined burst (microbatch m re-enters stage 0 the
+    round after its token leaves the last stage) emits exactly the tokens
+    of a sequential greedy decode loop, and the caches agree."""
+    params = _params()
+    B, n_steps = 4, 5
+    toks, cache = _prefilled(params, B)
+
+    want_cache = cache
+    want_toks, cur = [], toks
+    for _ in range(n_steps):
+        lg, want_cache = llama.decode_step(params, CFG, cur, want_cache)
+        cur = jnp.argmax(lg, -1).astype(jnp.int32)
+        want_toks.append(np.asarray(cur))
+
+    got_toks, got_cache = pp.pp_decode_burst(
+        params, CFG, pipe_mesh, toks, cache, n_steps
+    )
+    np.testing.assert_array_equal(np.asarray(got_toks), np.stack(want_toks))
+    np.testing.assert_array_equal(
+        np.asarray(got_cache.lengths), np.asarray(want_cache.lengths))
+    np.testing.assert_allclose(
+        np.asarray(got_cache.k, np.float32),
+        np.asarray(want_cache.k, np.float32), rtol=2e-2, atol=2e-2)
+
+
+def test_pp_decode_burst_inactive_and_capacity(pipe_mesh):
+    """Inactive slots don't advance; slots at capacity drop writes (the
+    plain decode_step semantics, chained)."""
+    params = _params()
+    B, n_steps = 4, 4
+    toks, cache = _prefilled(params, B)
+    import dataclasses
+
+    S = cache.S
+    # slot 3 sits one position from capacity: only 1 of 4 steps lands
+    lens = cache.lengths.at[3].set(S - 1)
+    cache = dataclasses.replace(cache, lengths=lens)
+    active = jnp.asarray([True, True, False, True])
+
+    want_cache = cache
+    cur = toks
+    want_toks = []
+    for _ in range(n_steps):
+        lg, want_cache = llama.decode_step(params, CFG, cur, want_cache,
+                                           active=active)
+        cur = jnp.where(active, jnp.argmax(lg, -1).astype(jnp.int32), 0)
+        want_toks.append(np.asarray(cur))
+
+    got_toks, got_cache = pp.pp_decode_burst(
+        params, CFG, pipe_mesh, toks, cache, n_steps, active=active
+    )
+    np.testing.assert_array_equal(
+        np.asarray(got_cache.lengths), np.asarray(want_cache.lengths))
+    got = np.asarray(got_toks)
+    want = np.stack(want_toks)
+    np.testing.assert_array_equal(got[:, active], want[:, active])
+
+
 def test_pp_decode_matches_single_chip(pipe_mesh):
     params = _params()
     B = 4

@@ -33,7 +33,7 @@ from xbitops_tpu.models import llama
 from xbitops_tpu.parallel import model_tp
 
 __all__ = ["pp_param_pspecs", "pp_cache_pspecs", "pp_decode_step",
-           "pp_prefill_slots"]
+           "pp_decode_burst", "pp_prefill_slots"]
 
 
 def pp_param_pspecs(params: dict, pipe_axis: str, tp_axis: Optional[str]):
@@ -222,6 +222,123 @@ def pp_decode_step(
 
     logits, new_cache, _ = f(params, tokens, jnp.asarray(active), cache)
     return logits, new_cache
+
+
+def pp_decode_burst(
+    params: dict,
+    cfg: llama.LlamaConfig,
+    mesh: Mesh,
+    tokens: jax.Array,  # int32 [B] current token per slot
+    cache: llama.KVCache,
+    n_steps: int,
+    pipe_axis: str = "pipe",
+    tp_axis: Optional[str] = None,
+    active: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, llama.KVCache]:
+    """``n_steps`` chained greedy decode steps, SOFTWARE-PIPELINED across the
+    stages — the steady-state PP decode schedule.
+
+    :func:`pp_decode_step` drains the pipeline every step (one batch costs
+    ``2P - 1`` rounds, stages busy ``P`` of them); here microbatch ``m``
+    re-enters stage 0 with its NEXT token the round after it leaves the last
+    stage (the token rides the same ``ppermute`` rotation the hidden state
+    uses, last → 0 in one hop), so at round ``r`` stage ``s`` works
+    microbatch ``(r - s) mod P`` at step ``(r - s) // P``: every stage does
+    useful work every round once the pipe fills.  Busy fraction is
+    ``n_steps·P / (n_steps·P + P - 1) → 1``, vs the drained schedule's
+    ``P / (2P - 1) ≈ 1/2``.  Greedy only (the serving default; sampling
+    would thread a key through the rotation).  Tokens are bit-identical to
+    ``n_steps`` calls of :func:`pp_decode_step`.
+
+    The last stage's lm_head stays on every stage's program (uniform SPMD);
+    it is NOT the wall-clock bound — rounds synchronize on the ``ppermute``,
+    and the last stage's lm_head sits on that critical path either way.
+    """
+    n_stages, lcf, rt, pspecs, cspecs = _mesh_setup(
+        params, mesh, cache, pipe_axis, tp_axis)
+    local_cfg = lcf(cfg)
+    B = tokens.shape[0]
+    if B % n_stages:
+        raise ValueError(f"batch {B} must divide the pipe axis ({n_stages})")
+    mb = B // n_stages
+    if active is None:
+        active = jnp.ones((B,), bool)
+
+    @partial(
+        shard_map, mesh=mesh,
+        in_specs=(pspecs, P(None), P(None), cspecs),
+        out_specs=(P(None, None), cspecs),
+        check_vma=False,
+    )
+    def f(params_l, tokens_l, active_l, cache_l):
+        s = lax.axis_index(pipe_axis)
+        h = params_l["embed"].shape[1]
+        S = cache_l.S
+        len0 = cache_l.lengths
+        kv0 = (cache_l.k, cache_l.v, cache_l.k_scale, cache_l.v_scale)
+        x0 = jnp.zeros((mb, 1, h), jnp.bfloat16)
+        tok0 = jnp.zeros((mb,), jnp.int32)
+        outs0 = jnp.zeros((n_steps, B), jnp.int32)
+        perm = [(i, (i + 1) % n_stages) for i in range(n_stages)]
+        total = n_steps * n_stages
+
+        def round_body(r, carry):
+            x, tok_in, kv, outs = carry
+            v = r - s
+            stage_active = jnp.logical_and(v >= 0, v < total)
+            vc = jnp.clip(v, 0, total - 1)
+            t = vc // n_stages  # this microbatch's step index
+            m = vc % n_stages  # microbatch
+            rows = m * mb + jnp.arange(mb)
+            row_act = jnp.logical_and(stage_active, active_l[rows])
+            # step 0 tokens come from the host; later steps from the token
+            # the last stage rotated in (its argmax for this microbatch's
+            # previous step, one round ago)
+            tok_fresh = lax.dynamic_slice(tokens_l, (m * mb,), (mb,))
+            tok_use = jnp.where(t == 0, tok_fresh, tok_in)
+            fresh = params_l["embed"][tok_use][:, None, :].astype(jnp.bfloat16)
+            x_in = jnp.where(s == 0, fresh, x)
+            pos = jnp.where(
+                jnp.logical_and(row_act, len0[rows] + t < S),
+                len0[rows] + t, S,
+            )[:, None]
+            mask = jnp.arange(S)[None, None, :] <= pos[:, :, None]
+            xo, kv = _stage_apply(
+                params_l["layers"], local_cfg, rt, x_in, pos, kv, mask,
+                rows, False,
+            )
+            xn = llama.rms_norm(xo, params_l["ln_final"], cfg.rms_eps)
+            logits = rt.logits_gather(llama._linear(xn, params_l["lm_head"]))
+            nxt = jnp.argmax(
+                logits[:, 0].astype(jnp.float32), axis=-1
+            ).astype(jnp.int32)
+            nxt = jnp.where(row_act, nxt, 0)
+            write = jnp.logical_and(s == n_stages - 1, stage_active)
+            prev = lax.dynamic_slice(outs, (t, m * mb), (1, mb))
+            outs = lax.dynamic_update_slice(
+                outs, jnp.where(write, nxt, prev[0])[None], (t, m * mb)
+            )
+            x = lax.ppermute(xo, pipe_axis, perm)
+            tok_out = lax.ppermute(nxt, pipe_axis, perm)
+            return x, tok_out, kv, outs
+
+        _, _, kv, outs = lax.fori_loop(
+            0, total + n_stages - 1, round_body, (x0, tok0, kv0, outs0)
+        )
+        outs = lax.psum(
+            jnp.where(s == n_stages - 1, outs, 0), pipe_axis
+        )
+        new_lens = jnp.where(
+            active_l,
+            jnp.minimum(len0 + n_steps, S),
+            len0,
+        ).astype(jnp.int32)
+        new_cache = llama.KVCache(
+            k=kv[0], v=kv[1], lengths=new_lens, k_scale=kv[2], v_scale=kv[3]
+        )
+        return outs, new_cache
+
+    return f(params, tokens, jnp.asarray(active), cache)
 
 
 def pp_prefill_slots(
