@@ -89,9 +89,10 @@ SUPPORTED_BITS = tuple(sorted(PLANE_DECOMP))
 # speed-critical deployments the quantized VALUES stay b-bit but are STORED
 # in the next power-of-two's planes — trading bytes for the wider kernel's
 # wall-clock.  ``"auto"`` applies the set measured on v5e (M=8, 4096x4096,
-# g=128, mask-only extraction): 3-bit 21.5us packed vs 15.0 padded and 7-bit
-# 34.3 vs 26.8 pad up; 5-bit (24.4 vs 26.7) and 6-bit (23.2 vs 26.8) stay
-# packed — their native planes now BEAT 8-bit storage's extra bytes.
+# g=128; round-5 re-sweep on the mixed plane layout): 3-bit 21.8us packed vs
+# 13.7 padded and 7-bit 32.1 vs 25.2 pad up; 5-bit (20.1 vs 25.1) and 6-bit
+# (21.8 vs 25.1) stay packed — their native planes BEAT 8-bit storage's
+# extra bytes, more so at 7B shapes (5-bit 635 GB/s at 11008x4096).
 # ``"packed"`` always keeps exact b-bit storage.
 POW2_STORAGE = {1: 1, 2: 2, 3: 4, 4: 4, 5: 8, 6: 8, 7: 8, 8: 8}
 AUTO_PAD_WIDTHS = frozenset({3, 7})
