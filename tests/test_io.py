@@ -262,3 +262,168 @@ def test_packed_roundtrip(ckpt_dir, tmp_path):
     assert tree_a == tree_b
     for x, y in zip(flat_a, flat_b):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+# desc_act fixture dims: tile-legal at tp=2 (every column-sharded tensor
+# keeps >= 128 local lanes, incl. the gathered o_proj's N = hidden)
+DH, DFFN, DHEADS, DKV, DHD, DVOCAB, DLAYERS = 256, 512, 4, 2, 128, 512, 2
+
+
+@pytest.fixture(scope="module")
+def desc_ckpt_dir(tmp_path_factory):
+    """AutoGPTQ checkpoint with desc_act (non-trivial g_idx) on EVERY linear —
+    the combination the round-4 verdict listed as unloadable at tp>1."""
+    d = tmp_path_factory.mktemp("autogptq_desc")
+    rng = np.random.default_rng(7)
+    tensors = {}
+    qdim = DHEADS * DHD
+    kvdim = DKV * DHD
+    for i in range(DLAYERS):
+        pre = f"model.layers.{i}"
+        for prefix, k, n in (
+            (f"{pre}.self_attn.q_proj", DH, qdim),
+            (f"{pre}.self_attn.k_proj", DH, kvdim),
+            (f"{pre}.self_attn.v_proj", DH, kvdim),
+            (f"{pre}.self_attn.o_proj", qdim, DH),
+            (f"{pre}.mlp.gate_proj", DH, DFFN),
+            (f"{pre}.mlp.up_proj", DH, DFFN),
+            (f"{pre}.mlp.down_proj", DFFN, DH),
+        ):
+            _quantized_entry(rng, tensors, prefix, k, n, desc_act=True)
+        tensors[f"{pre}.input_layernorm.weight"] = np.ones(DH, np.float16)
+        tensors[f"{pre}.post_attention_layernorm.weight"] = np.ones(DH, np.float16)
+    tensors["model.embed_tokens.weight"] = (
+        rng.standard_normal((DVOCAB, DH)) * 0.02
+    ).astype(np.float16)
+    tensors["model.norm.weight"] = np.ones(DH, np.float16)
+    tensors["lm_head.weight"] = (rng.standard_normal((DVOCAB, DH)) * 0.1).astype(
+        np.float16
+    )
+    st_np.save_file(tensors, str(d / "model.safetensors"))
+    (d / "config.json").write_text(
+        json.dumps(
+            dict(
+                model_type="llama", vocab_size=DVOCAB, hidden_size=DH,
+                intermediate_size=DFFN, num_hidden_layers=DLAYERS,
+                num_attention_heads=DHEADS, num_key_value_heads=DKV,
+                head_dim=DHD, rope_theta=10000.0, rms_norm_eps=1e-5,
+                max_position_embeddings=64,
+            )
+        )
+    )
+    (d / "quantize_config.json").write_text(
+        json.dumps(dict(bits=BITS, group_size=GROUP, desc_act=True))
+    )
+    return d
+
+
+def _dense_from_gptq(tensors, prefix, k):
+    """Ground-truth dense weight straight from GPTQ semantics (per-row g_idx
+    group lookup, AutoGPTQ zero-1 convention) — independent of the loader.
+    The zero term is the fp16-rounded product ``fp16(s * z)``, matching both
+    the reference's ``__hfma2(wq, s, -s*z)`` operand and the packed
+    ``scale_zeros`` store."""
+    qweight = jnp.asarray(tensors[f"{prefix}.qweight"])
+    s16 = np.asarray(tensors[f"{prefix}.scales"]).astype(np.float16)
+    qzeros = jnp.asarray(tensors[f"{prefix}.qzeros"])
+    g = np.asarray(tensors[f"{prefix}.g_idx"], np.int64)
+    wq = np.asarray(formats.gptq_unpack_weight(qweight, BITS, k), np.float32)
+    zeros = np.asarray(
+        formats.gptq_unpack_zeros(qzeros, BITS, s16.shape[1]), np.float16
+    )
+    sz = (s16 * (zeros + np.float16(1.0))).astype(np.float32)
+    return wq * s16.astype(np.float32)[g] - sz[g]
+
+
+def test_load_autogptq_desc_act_tp(desc_ckpt_dir):
+    """desc_act on every linear: tp=1 (down-proj fold) and tp=2 (fold +
+    gathered o_proj) both match the dense GPTQ-semantics forward."""
+    from xbitops_tpu.parallel import mesh as meshlib, model_tp
+
+    d = desc_ckpt_dir
+    tensors = st_np.load_file(str(d / "model.safetensors"))
+
+    p1, cfg = load_autogptq(str(d), max_seq_len=32)
+    l0 = p1["layers"][0]
+    # down-proj's sort folded into gate/up columns: no runtime gather
+    assert l0["w_down"].perm is None
+    assert l0["wo"].perm is not None  # o_proj keeps the runtime perm
+    assert "w_gateup" not in l0  # gate/up have their own K-perms: unfused
+
+    # ground truth: dense weights by GPTQ per-row semantics
+    dense = dict(
+        embed=p1["embed"], ln_final=p1["ln_final"], lm_head=p1["lm_head"],
+        layers=[],
+    )
+    for i in range(DLAYERS):
+        pre = f"model.layers.{i}"
+        dense["layers"].append(dict(
+            wq=jnp.asarray(_dense_from_gptq(tensors, f"{pre}.self_attn.q_proj", DH), jnp.bfloat16),
+            wk=jnp.asarray(_dense_from_gptq(tensors, f"{pre}.self_attn.k_proj", DH), jnp.bfloat16),
+            wv=jnp.asarray(_dense_from_gptq(tensors, f"{pre}.self_attn.v_proj", DH), jnp.bfloat16),
+            wo=jnp.asarray(_dense_from_gptq(tensors, f"{pre}.self_attn.o_proj", DHEADS * DHD), jnp.bfloat16),
+            w_gate=jnp.asarray(_dense_from_gptq(tensors, f"{pre}.mlp.gate_proj", DH), jnp.bfloat16),
+            w_up=jnp.asarray(_dense_from_gptq(tensors, f"{pre}.mlp.up_proj", DH), jnp.bfloat16),
+            w_down=jnp.asarray(_dense_from_gptq(tensors, f"{pre}.mlp.down_proj", DFFN), jnp.bfloat16),
+            ln_attn=p1["layers"][i]["ln_attn"],
+            ln_mlp=p1["layers"][i]["ln_mlp"],
+        ))
+    # the FOLD itself, gated exactly (f32 accum, reference tolerance): gate's
+    # outputs land in down-sort order, and down consumes sorted activations
+    from xbitops_tpu.ops.qmatmul import qmatmul
+
+    rng = np.random.default_rng(3)
+    down_order = np.argsort(
+        np.asarray(tensors["model.layers.0.mlp.down_proj.g_idx"]), kind="stable"
+    )
+    gate_f32 = _dense_from_gptq(tensors, "model.layers.0.mlp.gate_proj", DH)
+    down_f32 = _dense_from_gptq(tensors, "model.layers.0.mlp.down_proj", DFFN)
+    a = jnp.asarray(rng.standard_normal((2, DH)) * 0.3, jnp.float32)
+    got = np.asarray(qmatmul(a, l0["w_gate"], out_dtype=jnp.float32, precise=True))
+    np.testing.assert_allclose(
+        got, np.asarray(a) @ gate_f32[:, down_order], rtol=1e-5, atol=3e-4
+    )
+    b = jnp.asarray(rng.standard_normal((2, DFFN)) * 0.3, jnp.float32)
+    got = np.asarray(qmatmul(b, l0["w_down"], out_dtype=jnp.float32, precise=True))
+    np.testing.assert_allclose(
+        got, np.asarray(b) @ down_f32[down_order, :], rtol=1e-5, atol=3e-4
+    )
+
+    B, T = 2, 5
+    tokens = jax.random.randint(jax.random.PRNGKey(4), (B, T), 0, DVOCAB)
+    ref_logits, _ = llama.prefill(dense, cfg, tokens, llama.KVCache.init(cfg, B))
+
+    # bf16 forwards: the dense ground truth rounds dequant->bf16 while the
+    # kernel path applies fp16-bit scales in f32, so a tail of near-zero
+    # logits differs by ~0.1 abs (measured 0.4% of elements) — the exact
+    # gates above carry the correctness load
+    logits1, _ = llama.prefill(p1, cfg, tokens, llama.KVCache.init(cfg, B))
+    np.testing.assert_allclose(
+        np.asarray(logits1, np.float32), np.asarray(ref_logits, np.float32),
+        rtol=5e-2, atol=1.5e-1,
+    )
+
+    # tp=2: fold + gathered o_proj through the sharded forward; compared to
+    # the SAME-kernel tp=1 logits (tight) and the dense reference (loose)
+    p2, cfg2 = load_autogptq(str(d), tp=2, max_seq_len=32)
+    l0 = p2["layers"][0]
+    assert formats.is_row_sharded(l0["w_down"]) and l0["w_down"].perm is None
+    assert not formats.is_row_sharded(l0["wo"]) and l0["wo"].perm is not None
+    mesh = meshlib.make_mesh((1, 2), ("data", "model"))
+    params_s = model_tp.shard_params(p2, mesh)
+    cache_s = model_tp.shard_cache(llama.KVCache.init(cfg2, B), mesh)
+    tp_logits, tp_cache = model_tp.tp_prefill(params_s, cfg2, mesh, tokens, cache_s)
+    # same-kernel comparison: bf16 psum/gather reorders round a 0.5% tail of
+    # near-zero logits by <= 0.05 abs (same band as test_tp_matches_single_chip)
+    np.testing.assert_allclose(
+        np.asarray(tp_logits, np.float32), np.asarray(logits1, np.float32),
+        rtol=5e-2, atol=5e-2,
+    )
+    np.testing.assert_allclose(
+        np.asarray(tp_logits, np.float32), np.asarray(ref_logits, np.float32),
+        rtol=5e-2, atol=1.5e-1,
+    )
+    # and a decode step
+    nxt = jnp.argmax(tp_logits[:, -1], -1).astype(jnp.int32)
+    step_logits, _ = model_tp.tp_decode_step(params_s, cfg2, mesh, nxt, tp_cache)
+    assert bool(jnp.all(jnp.isfinite(step_logits.astype(jnp.float32))))

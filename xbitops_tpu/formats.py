@@ -696,6 +696,8 @@ def from_gptq(
     tile_k: Optional[int] = None,
     scale_store_dtype=None,
     storage_bits=None,
+    col_perm: Optional[jax.Array] = None,
+    fold_perm: bool = False,
 ) -> QTensor:
     """Convert a GPTQ-format checkpoint tensor to the TPU-native layout.
 
@@ -705,6 +707,14 @@ def from_gptq(
 
     ``scale_store_dtype=None`` follows the checkpoint: fp16 scales store as
     ``FP16_BITS`` (bit-exact, half the stream), anything else as f32 (exact).
+
+    ``col_perm`` permutes the OUTPUT columns (N axis) — used to fold a
+    downstream act-order layer's row sort into this layer's outputs so the
+    downstream matmul needs no runtime activation gather (exact: a column
+    permutation commutes with the elementwise ops between the layers).
+    ``fold_perm=True`` says exactly that was done upstream for THIS tensor's
+    ``g_idx``: rows are still sorted into contiguous groups, but no runtime
+    perm is stored (the activation already arrives in sorted order).
     """
     if scale_store_dtype is None:
         scale_store_dtype = (
@@ -713,11 +723,15 @@ def from_gptq(
     K, N = in_features, scales.shape[1]
     wq = gptq_unpack_weight(qweight, bits, K)
     zeros = gptq_unpack_zeros(qzeros, bits, N)
+    if col_perm is not None:
+        wq = jnp.take(wq, col_perm, axis=1)
+        scales = jnp.take(scales, col_perm, axis=1)
+        zeros = jnp.take(zeros, col_perm, axis=1)
     perm = None
     if g_idx is not None:
         order = jnp.argsort(g_idx, stable=True).astype(jnp.int32)
         wq = jnp.take(wq, order, axis=0)
-        perm = order
+        perm = None if fold_perm else order
     return make_qtensor(
         wq, scales, zeros, bits, group_size, add_zero_bias,
         tile_k=tile_k, perm=perm, scale_store_dtype=scale_store_dtype,

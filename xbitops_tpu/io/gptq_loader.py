@@ -89,6 +89,18 @@ def _detect_zero_bias(qcfg: dict) -> int:
     return 1
 
 
+def _nontrivial_gidx(tensors: dict, prefix: str, in_features: int, group_size: int):
+    """The checkpoint's ``g_idx`` for ``prefix`` as int32, or None when absent
+    or trivial (a monotone ``k // group_size`` map is not act-order)."""
+    g_idx = tensors.get(f"{prefix}.g_idx")
+    if g_idx is None:
+        return None
+    arr = np.asarray(g_idx, np.int64)
+    if np.array_equal(arr, np.arange(in_features) // group_size):
+        return None
+    return jnp.asarray(arr, jnp.int32)
+
+
 def _to_qtensor(
     tensors: dict,
     prefix: str,
@@ -99,25 +111,40 @@ def _to_qtensor(
     tp: int,
     scale_store_dtype,
     storage_bits=None,
+    col_perm=None,
+    fold: bool = False,
+    gathered_ok: bool = False,
 ):
     qweight = jnp.asarray(tensors[f"{prefix}.qweight"])
     scales = jnp.asarray(tensors[f"{prefix}.scales"])
     qzeros = jnp.asarray(tensors[f"{prefix}.qzeros"])
-    g_idx = tensors.get(f"{prefix}.g_idx")
-    # a trivial (monotone) g_idx is not act-order — drop it
-    if g_idx is not None:
-        trivial = np.array_equal(
-            np.asarray(g_idx, np.int64), np.arange(in_features) // group_size
-        )
-        g_idx = None if trivial else jnp.asarray(np.asarray(g_idx), jnp.int32)
+    g_idx = _nontrivial_gidx(tensors, prefix, in_features, group_size)
     if tp > 1:
-        if g_idx is not None:
-            raise NotImplementedError(
-                "act-order (g_idx) + row-parallel TP is not supported; "
-                "load with tp=1 or re-quantize without desc_act"
+        assert col_perm is None  # col_perm callers are column-parallel (tp=1)
+        if g_idx is not None and not fold:
+            if not gathered_ok:
+                raise NotImplementedError(
+                    "act-order (g_idx) on this row-parallel projection cannot "
+                    "fold into an upstream layer; load with tp=1 or "
+                    "re-quantize without desc_act"
+                )
+            # gathered-column execution: keep the full tensor + runtime perm,
+            # shard its COLUMNS at placement (parallel.tp.qtensor_pspecs
+            # falls back to col specs for act-order row weights) and let
+            # TPRuntime.row all-gather the input/output instead of psumming
+            return formats.from_gptq(
+                qweight, scales, qzeros, bits, group_size, in_features,
+                add_zero_bias=add_zero_bias, g_idx=g_idx,
+                scale_store_dtype=scale_store_dtype, storage_bits=storage_bits,
             )
         wq = formats.gptq_unpack_weight(qweight, bits, in_features)
         zeros = formats.gptq_unpack_zeros(qzeros, bits, scales.shape[1])
+        if fold and g_idx is not None:
+            # rows pre-sorted into contiguous groups; the activation arrives
+            # already sorted (the order was folded into the upstream layer's
+            # output columns), so no runtime perm is stored
+            order = jnp.argsort(g_idx, stable=True)
+            wq = jnp.take(wq, order, axis=0)
         return formats.make_row_sharded_qtensor(
             wq, scales, zeros, bits, group_size, tp,
             add_zero_bias=add_zero_bias, scale_store_dtype=scale_store_dtype,
@@ -127,6 +154,7 @@ def _to_qtensor(
         qweight, scales, qzeros, bits, group_size, in_features,
         add_zero_bias=add_zero_bias, g_idx=g_idx,
         scale_store_dtype=scale_store_dtype, storage_bits=storage_bits,
+        col_perm=col_perm, fold_perm=fold,
     )
 
 
@@ -191,15 +219,18 @@ def load_autogptq(
 
     h = cfg.hidden_size
 
-    def q(prefix: str, k_dim: int, row_parallel: bool = False):
+    def q(prefix: str, k_dim: int, row_parallel: bool = False,
+          col_perm=None, fold: bool = False, gathered_ok: bool = False):
         if f"{prefix}.qweight" in tensors:
             return _to_qtensor(
                 tensors, prefix, k_dim, bits, group_size, add_zero_bias,
                 tp if row_parallel else 1, scale_store_dtype, storage_bits,
+                col_perm=col_perm, fold=fold, gathered_ok=gathered_ok,
             )
         # dense fallback (e.g. lm_head kept fp16 in many GPTQ checkpoints);
         # HF stores [out, in] — transpose to [in, out]
-        return jnp.asarray(tensors[f"{prefix}.weight"]).T.astype(dtype)
+        w = jnp.asarray(tensors[f"{prefix}.weight"]).T.astype(dtype)
+        return w if col_perm is None else jnp.take(w, col_perm, axis=1)
 
     qdim = cfg.num_heads * cfg.head_dim
     kvdim = cfg.num_kv_heads * cfg.head_dim
@@ -256,8 +287,20 @@ def load_autogptq(
         if is_moe:
             attn_mlp.update(moe_ffn_entries(pre))
         else:
-            wgate = q(f"{pre}.mlp.gate_proj", h)
-            wup = q(f"{pre}.mlp.up_proj", h)
+            # desc_act down_proj: fold its row sort into gate/up's output
+            # columns (a column permutation commutes with silu(g)*u), so the
+            # down matmul runs gather-free — and row-shards cleanly under TP
+            # (shard boundaries land in the SORTED order, where groups are
+            # contiguous).  Exact; also removes the tp=1 runtime gather.
+            down_pre = f"{pre}.mlp.down_proj"
+            down_gidx = _nontrivial_gidx(
+                tensors, down_pre, cfg.intermediate_size, group_size
+            )
+            col_perm = None
+            if down_gidx is not None and f"{down_pre}.qweight" in tensors:
+                col_perm = jnp.argsort(down_gidx, stable=True).astype(jnp.int32)
+            wgate = q(f"{pre}.mlp.gate_proj", h, col_perm=col_perm)
+            wup = q(f"{pre}.mlp.up_proj", h, col_perm=col_perm)
             wgu = _try_fuse(
                 [wgate, wup], (cfg.intermediate_size,) * 2, tp
             ) if fuse else None
@@ -266,13 +309,18 @@ def load_autogptq(
             else:
                 attn_mlp.update(w_gate=wgate, w_up=wup)
             attn_mlp["w_down"] = q(
-                f"{pre}.mlp.down_proj", cfg.intermediate_size,
-                row_parallel=True,
+                down_pre, cfg.intermediate_size,
+                row_parallel=True, fold=col_perm is not None,
             )
         layers.append(
             dict(
                 **attn_mlp,
-                wo=q(f"{pre}.self_attn.o_proj", qdim, row_parallel=True),
+                # desc_act o_proj can't fold (its perm crosses attention
+                # heads): under TP it loads full + perm and runs gathered-
+                # column (TPRuntime.row all-gathers in/out; comm volume ~= the
+                # psum it replaces)
+                wo=q(f"{pre}.self_attn.o_proj", qdim, row_parallel=True,
+                     gathered_ok=True),
                 ln_attn=jnp.asarray(tensors[f"{pre}.input_layernorm.weight"]).astype(
                     jnp.float32
                 ),

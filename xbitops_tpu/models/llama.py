@@ -404,6 +404,20 @@ class TPRuntime(Runtime):
             w = IndexedQTensor(qt, w.layer)
         if isinstance(w, QTensor) and is_row_sharded(w):
             w = squeeze_row_shard(w)
+        # act-order row op executing gathered-column (desc_act o_proj: its
+        # runtime perm crosses shard boundaries, so the weight is column-
+        # sharded instead — see parallel.tp.qtensor_pspecs): the local x is a
+        # K-shard, the matmul needs all of K, and the N-sharded output must
+        # replicate.  Two all-gathers ~= the psum they replace in ICI bytes.
+        w_k = None
+        if isinstance(w, QTensor):
+            w_k = w.K_logical
+        elif isinstance(w, IndexedQTensor):
+            w_k = w.qt.K_logical
+        if w_k is not None and x.shape[-1] != w_k:
+            x = jax.lax.all_gather(x, self.axis, axis=x.ndim - 1, tiled=True)
+            out = _linear(x, w, **kw)
+            return jax.lax.all_gather(out, self.axis, axis=out.ndim - 1, tiled=True)
         return jax.lax.psum(_linear(x, w, **kw), self.axis)
 
     def logits_gather(self, x):
@@ -805,8 +819,9 @@ def _block(
     # T > 1 against the cache (chunked prefill / full prefill): the flash
     # prefill kernel streams only each q-tile's visible blocks.  The XLA
     # ctx() fallback reads the slots' FULL allocation and — packed int8 —
-    # dequantizes ALL of it to f32 first (measured 798 ms/chunk-dispatch at
-    # 7B S=1024, allocation-bound; docs/PERF_NOTES.md round 5).
+    # dequantizes ALL of it to f32 first.  Measured at 7B S=2048, n=8,
+    # C=512, live 512->1024: flash 683 ms/chunk vs fallback 967 int8,
+    # 1002 vs 1253 bf16 (docs/PERF_NOTES.md "Flash chunked prefill").
     bs_pf = min(512 if ks_all is not None else 128, S_cap)
     flash_prefill = (
         T > 1 and not self_attend and not kv_unaligned

@@ -52,10 +52,15 @@ def qtensor_pspecs(
     ``formats.make_row_sharded_qtensor``, whose leaves carry that extra axis).
     """
     if row_axis is not None and not is_row_sharded(qt):
-        raise ValueError(
-            "row-parallel requires a row-sharded QTensor "
-            "(formats.make_row_sharded_qtensor / quantize_array(row_shards=...))"
-        )
+        if qt.perm is None:
+            raise ValueError(
+                "row-parallel requires a row-sharded QTensor "
+                "(formats.make_row_sharded_qtensor / quantize_array(row_shards=...))"
+            )
+        # act-order row op (desc_act o_proj): the runtime perm crosses shard
+        # boundaries, so the tensor loads full and executes gathered-COLUMN
+        # (TPRuntime.row all-gathers activation + output); shard its N axis
+        return qtensor_pspecs(qt, col_axis=row_axis)
     lead = (row_axis,) if is_row_sharded(qt) else ()
     return QTensor(
         planes=tuple(P(*lead, None, col_axis) for _ in qt.planes),
