@@ -190,16 +190,18 @@ def main() -> None:
 
 
 def serving_longctx(params) -> float:
-    """End-to-end long-context serving: S=2048, 8 slots, ~1000-token prompts
+    """End-to-end long-context serving: S=2048, 16 slots, ~1000-token prompts
     through chunked prefill, 16 requests x 128 new tokens, burst-32 decode.
-    The engine auto-picks the int8 KV cache (long-context regime) and
-    no-donation (two int8 caches + weights fit HBM)."""
+    The engine auto-picks the int8 KV cache (long-context regime) with
+    donation (two int8 16-slot caches exceed HBM headroom); 16 slots admit
+    the whole wave at once and decode at B=16 (measured round 5: 415 tok/s
+    vs 369 at 8 slots — the B=16 burst amortizes weight reads 2x)."""
     import numpy as np
 
     from xbitops_tpu.engine.engine import Engine, Request
 
     cfg2 = dataclasses.replace(llama.LlamaConfig.llama2_7b(), max_seq_len=2048)
-    eng = Engine(params, cfg2, slots=8, decode_burst=32,
+    eng = Engine(params, cfg2, slots=16, decode_burst=32,
                  prefill_buckets=[16, 32], prefill_chunk=512)
     log(f"[serving] kv_quant={eng.kv_quant} donate={eng.donate_cache}")
     rng = np.random.default_rng(1)
@@ -211,7 +213,7 @@ def serving_longctx(params) -> float:
             for i in range(n)
         ]
 
-    eng.generate(reqs(8, 32))  # warm every program (chunk waves + burst)
+    eng.generate(reqs(16, 32))  # warm every program (chunk waves + burst)
     t0 = time.perf_counter()
     outs = eng.generate(reqs(16, 128))
     dt = time.perf_counter() - t0

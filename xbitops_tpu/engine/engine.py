@@ -416,7 +416,18 @@ class Engine:
             toks = sampling.sample_tokens(logits, key, temps, top_k, top_p)
             return toks, cache
 
-        @partial(jax.jit, donate_argnums=donate)
+        # chunked admission shares the 16 MB scoped-VMEM default between the
+        # flash-prefill kernel (15.99 MB at the 7B int8 64-row-q-tile shape)
+        # and donation's async cache-restaging copies — 188 KB over at
+        # slots>=16.  Raising the scoped limit for THIS program keeps the
+        # fast 64-row q-tile (a 32-row tile costs +90 ms/dispatch measured);
+        # v5e has 128 MB of VMEM, the 16 MB default is just conservative.
+        chunk_copts = (
+            {"xla_tpu_scoped_vmem_limit_kib": 20480}
+            if jax.default_backend() == "tpu" else None
+        )
+
+        @partial(jax.jit, donate_argnums=donate, compiler_options=chunk_copts)
         def prefill_chunks_fn(params, cache, packed, key):
             """Batched long-prompt admission: one chunk for EVERY long
             prompt in one forward (no per-request host dispatches).

@@ -909,6 +909,7 @@ def forward(
     slot_ids: Optional[jax.Array] = None,  # int32 [B] cache slots for x's rows
     self_attend: bool = False,
     kv_unaligned: bool = False,
+    logits_rows: Optional[jax.Array] = None,  # int32 [B]: only these positions' logits
 ) -> Tuple[jax.Array, KVCache]:
     """Run T tokens per slot through the model (T=1 -> decode; T>1 -> prefill).
 
@@ -919,6 +920,11 @@ def forward(
     ``kv_unaligned``: this T > 1 call's positions may start off a 4-position
     word boundary (speculative verify) — a packed int8 cache then writes
     per-position bytes instead of whole words.
+
+    ``logits_rows`` (prefill-admission fast path): per batch row, the single
+    position whose logits the caller will read — lm_head then runs on [B, 1]
+    instead of [B, T] (a C=512 chunk otherwise spends ~4.3 TFLOP + a 262 MB
+    logits write on rows nobody reads) and the returned logits are [B, 1, V].
     """
     rt = rt or Runtime()
     B, T = tokens.shape
@@ -981,6 +987,10 @@ def forward(
     new_k, new_v, new_ks, new_vs = kv
 
     x = rms_norm(x, params["ln_final"], cfg.rms_eps)
+    if logits_rows is not None:
+        x = jnp.take_along_axis(
+            x, logits_rows.astype(jnp.int32)[:, None, None], axis=1
+        )  # [B, 1, h]
     logits = _linear(x, params["lm_head"])
     logits = rt.logits_gather(logits)
     # Positions >= S mark padding/inactive tokens; they advance nothing.
@@ -1107,16 +1117,14 @@ def prefill_slot(params, cfg, tokens, true_len, slot, cache, rt=None):
     logits, cache = forward(
         params, cfg, tokens[None], cache, positions, rt,
         slot_ids=jnp.full((1,), slot, jnp.int32), self_attend=True,
+        logits_rows=jnp.maximum(true_len - 1, 0)[None],
     )
     # Reset the slot's length outright (forward's scatter-max would keep a
     # longer stale length from a previous occupant of this slot).
     cache = dataclasses.replace(
         cache, lengths=cache.lengths.at[slot].set(true_len)
     )
-    last = jax.lax.dynamic_index_in_dim(
-        logits[0], jnp.maximum(true_len - 1, 0), axis=0, keepdims=False
-    )
-    return last, cache
+    return logits[0, 0], cache
 
 
 def prefill_slots(params, cfg, tokens, true_lens, slots, cache, rt=None):
@@ -1135,6 +1143,7 @@ def prefill_slots(params, cfg, tokens, true_lens, slots, cache, rt=None):
     logits, cache = forward(
         params, cfg, tokens, cache, positions, rt,
         slot_ids=slots.astype(jnp.int32), self_attend=True,
+        logits_rows=jnp.maximum(true_lens - 1, 0),
     )
     # Reset each slot's length outright (a recycled slot may carry a longer
     # stale length); out-of-range dummy slots drop.
@@ -1142,9 +1151,7 @@ def prefill_slots(params, cfg, tokens, true_lens, slots, cache, rt=None):
         cache,
         lengths=cache.lengths.at[slots].set(true_lens.astype(jnp.int32), mode="drop"),
     )
-    idx = jnp.maximum(true_lens - 1, 0)
-    last = jnp.take_along_axis(logits, idx[:, None, None], axis=1)[:, 0]
-    return last, cache
+    return logits[:, 0], cache
 
 
 def prefill_slot_chunk(
@@ -1168,13 +1175,13 @@ def prefill_slot_chunk(
     # reset may be traced (one compiled program for first/later chunks)
     slot_len = jnp.where(jnp.asarray(reset), 0, cache.lengths[slot])
     cache = dataclasses.replace(cache, lengths=cache.lengths.at[slot].set(slot_len))
+    last_in_chunk = jnp.clip(true_len - 1 - start, 0, C - 1)
     logits, cache = forward(
         params, cfg, tokens[None], cache, positions, rt,
         slot_ids=jnp.full((1,), slot, jnp.int32),
+        logits_rows=jnp.asarray(last_in_chunk)[None],
     )
-    last_in_chunk = jnp.clip(true_len - 1 - start, 0, C - 1)
-    last = jax.lax.dynamic_index_in_dim(logits[0], last_in_chunk, axis=0, keepdims=False)
-    return last, cache
+    return logits[0, 0], cache
 
 
 def prefill_slots_chunk(
@@ -1200,12 +1207,12 @@ def prefill_slots_chunk(
         cache = dataclasses.replace(
             cache, lengths=cache.lengths.at[slots].set(keep, mode="drop")
         )
-    logits, cache = forward(
-        params, cfg, tokens, cache, positions, rt, slot_ids=slots.astype(jnp.int32)
-    )
     last_in_chunk = jnp.clip(true_lens - 1 - starts, 0, C - 1)
-    last = jnp.take_along_axis(logits, last_in_chunk[:, None, None], axis=1)[:, 0]
-    return last, cache
+    logits, cache = forward(
+        params, cfg, tokens, cache, positions, rt,
+        slot_ids=slots.astype(jnp.int32), logits_rows=last_in_chunk,
+    )
+    return logits[:, 0], cache
 
 
 def prefill(params, cfg, tokens, cache, rt=None):
