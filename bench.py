@@ -160,7 +160,7 @@ def main() -> None:
 
     # long-context SERVING (end-to-end Engine: chunked prefill admission +
     # burst decode + readback through the tunnel) — the number users feel
-    log("measuring long-context serving (S=2048, slots=8, 1000-tok prompts)...")
+    log("measuring long-context serving (S=2048, slots=16, 1000-tok prompts)...")
     try:
         serve_tps = serving_longctx(qparams2)
     except Exception as e:

@@ -710,28 +710,65 @@ def _block(
                 first, w_idx0 = _paged_word(
                     page_table, b_rows, positions[:, 0::4], k_all
                 )
+                w_idx = w_idx0[:, None, :]  # (B, 1, T/4)
+                f_idx = first[:, None, :]
+                k_all = k_all.at[li, f_idx, h_idx, w_idx].set(
+                    _pack_kv_words(kq), mode="drop"
+                )
+                v_all = v_all.at[li, f_idx, h_idx, w_idx].set(
+                    _pack_kv_words(vq), mode="drop"
+                )
+                f_idx4 = first[:, None, None, :]
+                j_idx = jnp.arange(4)[None, :, None, None]
+                h_idx4 = jnp.arange(Hkv_l)[None, None, :, None]
+                w_idx4 = w_idx0[:, None, None, :]
+                ks_all = ks_all.at[li, f_idx4, j_idx, h_idx4, w_idx4].set(
+                    _pack_kv_scales(ks).astype(ks_all.dtype), mode="drop"
+                )
+                vs_all = vs_all.at[li, f_idx4, j_idx, h_idx4, w_idx4].set(
+                    _pack_kv_scales(vs).astype(vs_all.dtype), mode="drop"
+                )
             else:
-                first = b_rows[:, None]  # (B, 1) broadcasts over words
-                w_idx0 = positions[:, 0::4] // 4  # (B, T/4); OOB words drop
-                first = jnp.broadcast_to(first, w_idx0.shape)
-            w_idx = w_idx0[:, None, :]  # (B, 1, T/4)
-            f_idx = first[:, None, :]
-            k_all = k_all.at[li, f_idx, h_idx, w_idx].set(
-                _pack_kv_words(kq), mode="drop"
-            )
-            v_all = v_all.at[li, f_idx, h_idx, w_idx].set(
-                _pack_kv_words(vq), mode="drop"
-            )
-            f_idx4 = first[:, None, None, :]
-            j_idx = jnp.arange(4)[None, :, None, None]
-            h_idx4 = jnp.arange(Hkv_l)[None, None, :, None]
-            w_idx4 = w_idx0[:, None, None, :]
-            ks_all = ks_all.at[li, f_idx4, j_idx, h_idx4, w_idx4].set(
-                _pack_kv_scales(ks).astype(ks_all.dtype), mode="drop"
-            )
-            vs_all = vs_all.at[li, f_idx4, j_idx, h_idx4, w_idx4].set(
-                _pack_kv_scales(vs).astype(vs_all.dtype), mode="drop"
-            )
+                # Each row's valid positions are a contiguous 4-aligned run
+                # from positions[:, 0] (prefix property of chunk/bucket
+                # admission), so the write is a per-slot
+                # dynamic_update_slice of a dense (Hkv, T/4, D) slab — the
+                # general scatter formulation lowered to serialized row
+                # writes (measured 4.9 ms/layer/array at n=16, C=512: ~460
+                # ms of a 1.44 s chunk dispatch; the DUS form is a strided
+                # slab copy).  Invalid rows (inert slots / exhausted
+                # prompts) write back what they read; garbage words past a
+                # row's true length are never attended (length-bounded
+                # masks) and are overwritten by later appends.
+                kw = _pack_kv_words(kq)  # (B, Hkv, T/4, D)
+                vw = _pack_kv_words(vq)
+                kss = _pack_kv_scales(ks).astype(ks_all.dtype)  # (B,4,Hkv,T/4)
+                vss = _pack_kv_scales(vs).astype(vs_all.dtype)
+                Sw = k_all.shape[3]
+                B_cache = k_all.shape[1]
+                tw = T // 4
+                li_i = jnp.asarray(li, jnp.int32)
+                zero = jnp.int32(0)
+                for b in range(B):
+                    tgt = jnp.clip(b_rows[b], 0, B_cache - 1).astype(jnp.int32)
+                    p0 = positions[b, 0]
+                    # the run must fit the allocation whole (engine chunk /
+                    # bucket sizes always do); otherwise write nothing
+                    ok = (b_rows[b] < B_cache) & (p0 // 4 + tw <= Sw)
+                    w0 = jnp.clip(p0 // 4, 0, Sw - tw).astype(jnp.int32)
+                    kv_at = (li_i, tgt, zero, w0, zero)
+                    sc_at = (li_i, tgt, zero, zero, w0)
+
+                    def dus(arr, new, at):
+                        old = jax.lax.dynamic_slice(arr, at, new.shape)
+                        return jax.lax.dynamic_update_slice(
+                            arr, jnp.where(ok, new, old), at
+                        )
+
+                    k_all = dus(k_all, kw[b][None, None], kv_at)
+                    v_all = dus(v_all, vw[b][None, None], kv_at)
+                    ks_all = dus(ks_all, kss[b][None, None], sc_at)
+                    vs_all = dus(vs_all, vss[b][None, None], sc_at)
     elif page_table is not None:
         # paged pool: virtual position -> (pool page via table, in-page row).
         # Unallocated (-1) / past-capacity positions redirect to a POSITIVE
@@ -767,11 +804,41 @@ def _block(
             k_all, v_all, k[:, 0], v[:, 0], positions[:, 0], li,
         )
     else:
-        kT = jnp.swapaxes(k, 1, 2)  # (B, Hkv, T, D)
-        vT = jnp.swapaxes(v, 1, 2)
-        d_idx = (li, b_idx3, h_idx, positions[:, None, :])
-        k_all = k_all.at[d_idx].set(kT.astype(k_all.dtype), mode="drop")
-        v_all = v_all.at[d_idx].set(vT.astype(v_all.dtype), mode="drop")
+        kT = jnp.swapaxes(k, 1, 2).astype(k_all.dtype)  # (B, Hkv, T, D)
+        vT = jnp.swapaxes(v, 1, 2).astype(v_all.dtype)
+        if kv_unaligned:
+            # speculative verify may straddle the capacity edge (a chain
+            # starting near S legitimately drops only its tail rows) — keep
+            # the per-row scatter, whose mode="drop" is per element
+            d_idx = (li, b_idx3, h_idx, positions[:, None, :])
+            k_all = k_all.at[d_idx].set(kT, mode="drop")
+            v_all = v_all.at[d_idx].set(vT, mode="drop")
+        else:
+            # every other caller's valid positions are a contiguous run from
+            # positions[:, 0] that fits the allocation whole (prefix
+            # property: prefill from 0, chunks from start, decode at the
+            # length), so write per-slot dense (Hkv, T, D) slabs with
+            # dynamic_update_slice — the scatter formulation with
+            # per-element indices lowers to serialized row writes (same
+            # pathology as the int8 chunk path above).
+            S_rows = k_all.shape[3]
+            B_cache = k_all.shape[1]
+            li_i = jnp.asarray(li, jnp.int32)
+            zero = jnp.int32(0)
+            for b in range(B):
+                tgt = jnp.clip(b_rows[b], 0, B_cache - 1).astype(jnp.int32)
+                p0 = positions[b, 0]
+                ok = (b_rows[b] < B_cache) & (p0 + T <= S_rows)
+                r0 = jnp.clip(p0, 0, S_rows - T).astype(jnp.int32)
+                at = (li_i, tgt, zero, r0, zero)
+                oldk = jax.lax.dynamic_slice(k_all, at, (1, 1, Hkv_l, T, D))
+                oldv = jax.lax.dynamic_slice(v_all, at, (1, 1, Hkv_l, T, D))
+                k_all = jax.lax.dynamic_update_slice(
+                    k_all, jnp.where(ok, kT[b][None, None], oldk), at
+                )
+                v_all = jax.lax.dynamic_update_slice(
+                    v_all, jnp.where(ok, vT[b][None, None], oldv), at
+                )
 
     def ctx(rows):
         """Head-major attention context [n, Hkv, S, D] for cache rows of
